@@ -1,0 +1,217 @@
+"""Shared integrator machinery: light sampling, NEE pdf, sky, medium stack.
+
+Wavefront (batched [N]) equivalents of the helpers every reference integrator
+leans on: nextEventEstimation/neePDF (deviceCode.cu:63-156), sampleSky
+(integratorUtilities.cuh:436-461, disabled upstream — gated by a flag here),
+and the priority-based nested-dielectric medium stack
+(deviceCode.cu:306-432, integratorUtilities.cuh:414-434) vectorized as a
+[N, S] int32 array + top counter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cudapathtracer_tpu.ops import bsdf as bsdf_ops
+from cudapathtracer_tpu.ops import traverse
+from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils.math import EPSILON, dot, length_sq, normalize
+
+MEDIUM_STACK_SIZE = 16  # deviceCode.cu:305
+AIR_INDEX = 0           # material 0 is always air (main.cu:448)
+
+
+# ---------------------------------------------------------------------------
+# Sky (environment light) — disabled by default like the reference
+# ---------------------------------------------------------------------------
+
+
+def sample_sky(d, enabled: bool = False):
+    """Gradient sky + sun; the reference ships this disabled (its first line
+    returns black, integratorUtilities.cuh:437). enabled=True revives the
+    dead gradient code for capability parity."""
+    if not enabled:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    unit = normalize(d)
+    t = 0.5 * (unit[..., 1] + 1.0)
+    c_horizon = jnp.asarray([1.0, 0.4, 0.2])
+    c_zenith = jnp.asarray([0.3, 0.4, 0.8])
+    return (1.0 - t)[..., None] * c_horizon + t[..., None] * c_zenith
+
+
+# ---------------------------------------------------------------------------
+# Light sampling (deviceCode.cu:104-115) + NEE pdf (deviceCode.cu:63-86)
+# ---------------------------------------------------------------------------
+
+
+class LightSample(NamedTuple):
+    point: jax.Array      # [N,3]
+    normal: jax.Array     # [N,3]
+    emission: jax.Array   # [N,3]
+    area: jax.Array       # [N]
+    tri: jax.Array        # [N] permuted triangle index of the light
+
+
+def sample_light_point(scene, key, draw_base, n):
+    """Uniform light pick + area sample with the reference's sqrt warp:
+    p = (1-u)a + u(1-v)b + u v c with u = sqrt(rand) (deviceCode.cu:107-115).
+    """
+    ul = rng.uniform(key, draw_base + 0, (n,))
+    u = jnp.sqrt(rng.uniform(key, draw_base + 1, (n,)))
+    v = rng.uniform(key, draw_base + 2, (n,))
+    num = max(scene.num_lights, 1)
+    idx = jnp.minimum((ul * num).astype(jnp.int32), num - 1)
+    a = scene.light_p0[idx]
+    b = scene.light_p1[idx]
+    c = scene.light_p2[idx]
+    p = (1.0 - u)[:, None] * a + (u * (1.0 - v))[:, None] * b + (u * v)[:, None] * c
+    return LightSample(point=p, normal=scene.light_normal[idx],
+                       emission=scene.light_emission[idx],
+                       area=scene.light_area[idx], tri=scene.light_tri[idx])
+
+
+def nee_pdf(scene, from_point, light_point, light_normal, light_area):
+    """Solid-angle pdf of NEE having sampled this light point from
+    `from_point` (neePDF, deviceCode.cu:63-86): d^2/(cos_l * numLights * A).
+    Negative when the light faces away (the reference then skips the MIS
+    term via its `pdf > EPSILON` check)."""
+    stl = light_point - from_point
+    wi = normalize(stl)
+    d2 = length_sq(stl)
+    cos_l = dot(light_normal, -wi)
+    denom = cos_l * max(scene.num_lights, 1) * light_area
+    sign = jnp.where(denom >= 0, 1.0, -1.0)
+    return d2 / (sign * jnp.maximum(jnp.abs(denom), 1e-20))
+
+
+def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
+                          mat, albedo, eta_i, active):
+    """One NEE shadow connection per lane (deviceCode.cu:87-156).
+
+    Returns (contribution [N,3] — f*Le*cos/pdf*shadow, light_pdf [N],
+    wo_local [N,3] — the light direction in shading space, for the BSDF-pdf
+    MIS counter-weight).
+    """
+    n = point.shape[0]
+    if scene.num_lights == 0:
+        z = jnp.zeros((n, 3), jnp.float32)
+        return z, jnp.full((n,), -1.0), z
+
+    ls = sample_light_point(scene, key, draw_base, n)
+    stl = ls.point - point
+    wi = normalize(stl)
+    dist = jnp.sqrt(jnp.maximum(length_sq(stl), 0.0))
+
+    origin = point + wi * EPSILON
+    # max_t measured from the offset origin (the reference re-intersects the
+    # light triangle from there, deviceCode.cu:124-127); the extra EPSILON
+    # keeps the light itself strictly outside the occlusion test
+    shadow = traverse.shadow_factor(scene, origin, wi,
+                                    (dist - EPSILON) * (1.0 - EPSILON),
+                                    active=active)
+    clear = jnp.max(shadow, axis=-1) > 0.0
+
+    light_pdf = nee_pdf(scene, point, ls.point, ls.normal, ls.area)
+    cos_surf = jnp.abs(dot(normal, wi))
+
+    wo_local = jnp.stack([dot(wi, t) for t in _frame3(normal)], axis=-1)
+    f_val = bsdf_ops.bsdf_f(mat, albedo, -wi_local, wo_local, eta_i)
+
+    contrib = (f_val * ls.emission * (cos_surf / _safe(light_pdf))[:, None]
+               * shadow)
+    contrib = jnp.where((clear & (light_pdf > EPSILON) & active)[:, None],
+                        contrib, 0.0)
+    return contrib, light_pdf, wo_local
+
+
+def _safe(x, eps=1e-20):
+    sign = jnp.where(x >= 0, 1.0, -1.0)
+    return sign * jnp.maximum(jnp.abs(x), eps)
+
+
+def _frame3(nrm):
+    from cudapathtracer_tpu.utils.math import build_frame
+    t, b = build_frame(nrm)
+    return t, b, nrm
+
+
+def power2_weight(p, q):
+    """Power-2 MIS heuristic p^2/(p^2+q^2) (deviceCode.cu:449-450)."""
+    p2 = p * p
+    q2 = q * q
+    return p2 / jnp.maximum(p2 + q2, 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# Medium stack (nested dielectrics), vectorized
+# ---------------------------------------------------------------------------
+
+
+class MediumStack(NamedTuple):
+    """[N, S] material-index stack + [N] top counter. Slot 0 is always AIR."""
+    stack: jax.Array
+    top: jax.Array
+
+    @staticmethod
+    def make(n: int, size: int = MEDIUM_STACK_SIZE) -> "MediumStack":
+        stack = jnp.zeros((n, size), jnp.int32)
+        return MediumStack(stack=stack, top=jnp.ones((n,), jnp.int32))
+
+
+def stack_push(ms: MediumStack, mat_id, mask) -> MediumStack:
+    s = ms.stack.shape[1]
+    slots = jnp.arange(s)[None, :]
+    can = mask & (ms.top < s)
+    put = can[:, None] & (slots == ms.top[:, None])
+    stack = jnp.where(put, mat_id[:, None], ms.stack)
+    return MediumStack(stack=stack, top=ms.top + can.astype(jnp.int32))
+
+
+def stack_remove(ms: MediumStack, mat_id, mask) -> MediumStack:
+    """Remove the topmost occurrence of mat_id (never slot 0), shifting the
+    entries above it down (removeMaterialFromStack semantics)."""
+    s = ms.stack.shape[1]
+    slots = jnp.arange(s)[None, :]
+    live = (slots > 0) & (slots < ms.top[:, None])
+    match = (ms.stack == mat_id[:, None]) & live
+    i_found = jnp.max(jnp.where(match, slots, -1), axis=1)
+    found = (i_found >= 0) & mask
+    shift_from = slots >= i_found[:, None]
+    shifted = jnp.roll(ms.stack, -1, axis=1)
+    stack = jnp.where(found[:, None] & shift_from, shifted, ms.stack)
+    return MediumStack(stack=stack, top=ms.top - found.astype(jnp.int32))
+
+
+def dominant_medium(ms: MediumStack, priorities):
+    """Lowest-priority-value medium on the stack (deviceCode.cu:345-356).
+    priorities: full material priority column [M]. Returns (mat_id [N],
+    priority [N]); first-lowest wins on ties like the reference scan."""
+    s = ms.stack.shape[1]
+    slots = jnp.arange(s)[None, :]
+    live = slots < ms.top[:, None]
+    pri = priorities[ms.stack]
+    pri = jnp.where(live, pri, jnp.int32(2 ** 30))
+    arg = jnp.argmin(pri, axis=1)
+    lane = jnp.arange(ms.stack.shape[0])
+    return ms.stack[lane, arg], pri[lane, arg]
+
+
+def second_lowest_medium(ms: MediumStack, priorities, exclude_mat):
+    """The dominant medium pretending `exclude_mat` isn't on the stack —
+    determines etaT when exiting the dominant medium (deviceCode.cu:397-420).
+    Faithfully reproduces the reference quirk of also skipping priority-0
+    entries in this scan (deviceCode.cu:404: `if (priority)`), and defaults
+    to slot 0 (air)."""
+    s = ms.stack.shape[1]
+    slots = jnp.arange(s)[None, :]
+    live = slots < ms.top[:, None]
+    pri = priorities[ms.stack]
+    consider = live & (ms.stack != exclude_mat[:, None]) & (pri != 0)
+    pri_m = jnp.where(consider, pri, jnp.int32(2 ** 30))
+    arg = jnp.argmin(pri_m, axis=1)
+    lane = jnp.arange(ms.stack.shape[0])
+    none_found = pri_m[lane, arg] == 2 ** 30
+    return jnp.where(none_found, ms.stack[:, 0], ms.stack[lane, arg])

@@ -1,0 +1,170 @@
+"""Device scene representation: SoA triangle/BVH/light/material arrays.
+
+The upload step of the framework — the TPU-native equivalent of the
+reference's explicit cudaMalloc/Memcpy of Vertices/Triangle/BVH arrays
+(main.cu:484-557). Triangles are *permuted into BVH leaf order* at build time
+and denormalized per-corner (no vertex indirection on device), so traversal
+leaf reads and shading interpolation are pure row gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudapathtracer_tpu.scene import bvh as bvh_mod
+from cudapathtracer_tpu.scene.materials import MaterialTable, build_table
+from cudapathtracer_tpu.utils.obj import MeshData
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Scene:
+    # --- triangles, BVH-permuted order ---
+    tri_pack: jax.Array     # [T, 9] f32: v0.xyz, e1.xyz, e2.xyz (traversal hot data)
+    tri_n: jax.Array        # [T, 3, 3] f32 vertex normals (a, b, c)
+    tri_uv: jax.Array       # [T, 3, 2] f32 vertex uvs
+    tri_mat: jax.Array      # [T] i32
+    tri_emission: jax.Array  # [T, 3] f32
+    tri_light: jax.Array    # [T] i32, -1 = not a light
+    tri_area: jax.Array     # [T] f32
+
+    # --- BVH (threaded, 8 octants) ---
+    node_bounds: jax.Array  # [M, 6] f32
+    node_leaf: jax.Array    # [M, 2] i32 (first, count)
+    node_links: jax.Array   # [M*8, 2] i32, row = node*8 + octant
+
+    # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling) ---
+    light_p0: jax.Array     # [L, 3]
+    light_p1: jax.Array     # [L, 3]
+    light_p2: jax.Array     # [L, 3]
+    light_normal: jax.Array  # [L, 3] (vertex-a normal, as the reference uses)
+    light_emission: jax.Array  # [L, 3]
+    light_area: jax.Array   # [L]
+    light_tri: jax.Array    # [L] i32 (permuted triangle index)
+
+    # --- materials + textures ---
+    materials: MaterialTable
+    textures: jax.Array     # [A, 3] f32 flat atlas
+
+    # --- bounds ---
+    scene_radius: jax.Array  # scalar f32 (half diagonal of root AABB)
+
+    # --- static metadata ---
+    num_lights: int = field(metadata=dict(static=True), default=0)
+    max_leaf_size: int = field(metadata=dict(static=True), default=2)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_pack.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_bounds.shape[0]
+
+    # traversal views
+    @property
+    def tri_v0(self):
+        return self.tri_pack[:, 0:3]
+
+    @property
+    def tri_e1(self):
+        return self.tri_pack[:, 3:6]
+
+    @property
+    def tri_e2(self):
+        return self.tri_pack[:, 6:9]
+
+
+def build_scene(mesh: MeshData, materials: list | MaterialTable,
+                textures: np.ndarray | None = None, max_leaf_size: int = 2,
+                use_native_bvh: bool = True) -> tuple[Scene, bvh_mod.BVH]:
+    """Build the BVH and upload everything as a Scene pytree.
+
+    Returns (scene, host_bvh) — the host BVH is kept for stats/tests.
+    """
+    if mesh.num_triangles == 0:
+        raise ValueError("scene has no triangles")
+
+    pos = mesh.positions
+    p0 = pos[mesh.pos_idx[:, 0]]
+    p1 = pos[mesh.pos_idx[:, 1]]
+    p2 = pos[mesh.pos_idx[:, 2]]
+
+    centroids, amins, amaxs = bvh_mod.triangle_bounds(p0, p1, p2)
+    bvh = bvh_mod.build_bvh(centroids, amins, amaxs, max_leaf_size,
+                            use_native=use_native_bvh)
+    perm = bvh.perm
+
+    p0, p1, p2 = p0[perm], p1[perm], p2[perm]
+    e1, e2 = p1 - p0, p2 - p0
+    tri_pack = np.concatenate([p0, e1, e2], axis=1).astype(np.float32)
+
+    nrm = mesh.normals
+    tri_n = np.stack([nrm[mesh.nrm_idx[perm, k]] for k in range(3)], axis=1)
+    uvs = mesh.uvs
+    tri_uv = np.stack([uvs[mesh.uv_idx[perm, k]] for k in range(3)], axis=1)
+
+    tri_mat = mesh.mat_id[perm]
+    tri_emission = mesh.emission[perm]
+    tri_light = mesh.light_ind[perm]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+    # light table ordered by light index (light_ind values are dense 0..L-1)
+    lmask = tri_light >= 0
+    lorder = np.argsort(tri_light[lmask], kind="stable")
+    lsel = np.nonzero(lmask)[0][lorder].astype(np.int32)
+    num_lights = int(lsel.size)
+    if num_lights:
+        light_p0, light_p1, light_p2 = p0[lsel], p1[lsel], p2[lsel]
+        light_normal = tri_n[lsel, 0]
+        light_emission = tri_emission[lsel]
+        light_area = area[lsel]
+    else:  # keep shapes non-empty for jit friendliness
+        z3 = np.zeros((1, 3), np.float32)
+        light_p0 = light_p1 = light_p2 = z3
+        light_normal = np.array([[0.0, 1.0, 0.0]], np.float32)
+        light_emission = z3
+        light_area = np.zeros((1,), np.float32)
+        lsel = np.zeros((1,), np.int32)
+
+    if textures is None:
+        textures = np.zeros((1, 3), np.float32)
+
+    root_min = bvh.bounds[0, 0:3]
+    root_max = bvh.bounds[0, 3:6]
+    radius = 0.5 * float(np.linalg.norm(root_max - root_min))
+
+    if isinstance(materials, MaterialTable):
+        table = materials
+    else:
+        table = build_table(materials)
+
+    scene = Scene(
+        tri_pack=jnp.asarray(tri_pack),
+        tri_n=jnp.asarray(tri_n, jnp.float32),
+        tri_uv=jnp.asarray(tri_uv, jnp.float32),
+        tri_mat=jnp.asarray(tri_mat, jnp.int32),
+        tri_emission=jnp.asarray(tri_emission, jnp.float32),
+        tri_light=jnp.asarray(tri_light, jnp.int32),
+        tri_area=jnp.asarray(area, jnp.float32),
+        node_bounds=jnp.asarray(bvh.bounds),
+        node_leaf=jnp.asarray(bvh.leaf),
+        node_links=jnp.asarray(bvh.links.reshape(-1, 2)),
+        light_p0=jnp.asarray(light_p0),
+        light_p1=jnp.asarray(light_p1),
+        light_p2=jnp.asarray(light_p2),
+        light_normal=jnp.asarray(light_normal),
+        light_emission=jnp.asarray(light_emission),
+        light_area=jnp.asarray(light_area),
+        light_tri=jnp.asarray(lsel),
+        materials=table,
+        textures=jnp.asarray(textures, jnp.float32),
+        scene_radius=jnp.float32(radius),
+        num_lights=num_lights,
+        max_leaf_size=int(bvh.leaf[:, 1].max()),
+    )
+    return scene, bvh

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from cudapathtracer_tpu.scene import bvh as bvh_mod
+from cudapathtracer_tpu.scene.builtin import bunny_stand_in, cornell_with_blocks
+from cudapathtracer_tpu.scene.native import native_available
+
+
+def make_tris(n=500, seed=0):
+    rs = np.random.RandomState(seed)
+    p0 = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    p1 = p0 + rs.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+    p2 = p0 + rs.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+    return p0, p1, p2
+
+
+def build(n=500, seed=0, leaf=2, native=False):
+    p0, p1, p2 = make_tris(n, seed)
+    c, mn, mx = bvh_mod.triangle_bounds(p0, p1, p2)
+    return bvh_mod.build_bvh(c, mn, mx, leaf, use_native=native), (c, mn, mx)
+
+
+def test_all_prims_covered_once():
+    bvh, _ = build()
+    covered = np.zeros(500, bool)
+    for i in range(bvh.num_nodes):
+        first, count = bvh.leaf[i]
+        if count > 0:
+            seg = bvh.perm[first:first + count]
+            assert not covered[seg].any(), "triangle in two leaves"
+            covered[seg] = True
+    assert covered.all(), "triangle missing from leaves"
+
+
+def test_parent_aabbs_contain_children():
+    bvh, (c, mn, mx) = build()
+    for i in range(bvh.num_nodes):
+        if bvh.leaf[i, 1] > 0:
+            seg = bvh.perm[bvh.leaf[i, 0]:bvh.leaf[i, 0] + bvh.leaf[i, 1]]
+            assert (bvh.bounds[i, 0:3] <= mn[seg].min(0) + 1e-6).all()
+            assert (bvh.bounds[i, 3:6] >= mx[seg].max(0) - 1e-6).all()
+        else:
+            for ch in (bvh.left[i], bvh.right[i]):
+                assert (bvh.bounds[i, 0:3] <= bvh.bounds[ch, 0:3] + 1e-6).all()
+                assert (bvh.bounds[i, 3:6] >= bvh.bounds[ch, 3:6] - 1e-6).all()
+
+
+def test_threaded_links_visit_every_node():
+    """Following hit links everywhere must enumerate the whole tree exactly
+    once per octant (DFS order)."""
+    bvh, _ = build(200, 1)
+    for o in range(8):
+        seen = []
+        cur = 0
+        while cur != -1:
+            seen.append(cur)
+            is_leaf = bvh.leaf[cur, 1] > 0
+            cur = int(bvh.links[cur, o, 1] if is_leaf else bvh.links[cur, o, 0])
+        assert sorted(seen) == list(range(bvh.num_nodes))
+
+
+def test_miss_links_skip_subtrees():
+    bvh, _ = build(200, 2)
+    # miss link of a node must not be inside its own subtree
+    def subtree(n):
+        out, stack = set(), [n]
+        while stack:
+            x = stack.pop()
+            out.add(x)
+            if bvh.leaf[x, 1] == 0:
+                stack += [bvh.left[x], bvh.right[x]]
+        return out
+
+    for o in range(8):
+        for n in range(bvh.num_nodes):
+            miss = bvh.links[n, o, 1]
+            if miss != -1:
+                assert miss not in subtree(n)
+
+
+@pytest.mark.skipif(not native_available(), reason="native builder unavailable")
+def test_native_matches_numpy():
+    for seed in (0, 3):
+        bvh_py, (c, mn, mx) = build(400, seed, leaf=3, native=False)
+        bvh_cc = bvh_mod.build_bvh(c, mn, mx, 3, use_native=True)
+        np.testing.assert_array_equal(bvh_py.perm, bvh_cc.perm)
+        np.testing.assert_array_equal(bvh_py.leaf, bvh_cc.leaf)
+        np.testing.assert_array_equal(bvh_py.left, bvh_cc.left)
+        np.testing.assert_array_equal(bvh_py.right, bvh_cc.right)
+        np.testing.assert_allclose(bvh_py.bounds, bvh_cc.bounds, rtol=1e-6)
+        np.testing.assert_array_equal(bvh_py.links, bvh_cc.links)
+
+
+def test_leaf_size_respected_mostly():
+    bvh, _ = build(1000, 4, leaf=4)
+    # force-leaf fallback can exceed maxLeafSize, but the bulk must respect it
+    sizes = bvh.leaf[bvh.leaf[:, 1] > 0, 1]
+    assert np.median(sizes) <= 4
+
+
+def test_stats_shape():
+    mesh = cornell_with_blocks()
+    from cudapathtracer_tpu.scene.scene import build_scene
+    from cudapathtracer_tpu.scene.materials import builtin_materials
+    scene, bvh = build_scene(mesh, builtin_materials())
+    stats = bvh_mod.bvh_stats(bvh)
+    assert stats["prims_in_leaves"] == mesh.num_triangles
+    assert stats["num_nodes"] == bvh.num_nodes

@@ -1,0 +1,75 @@
+import jax
+import numpy as np
+import pytest
+
+from cudapathtracer_tpu.models import naive, unidirectional
+from cudapathtracer_tpu.parallel import sharding
+from cudapathtracer_tpu.scene import builtin
+from cudapathtracer_tpu.scene.camera import Camera
+from cudapathtracer_tpu.scene.materials import builtin_materials
+from cudapathtracer_tpu.scene.scene import build_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 16, 16, 0.0, 0.0, 0.0, 60.0)
+    return scene, cam
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_render(setup):
+    scene, cam = setup
+    mesh = sharding.make_mesh(n_tile=8, n_spp=1)
+    acc, done, rays = sharding.render_sharded(
+        unidirectional.render_sample, mesh, scene, cam, 16, 16, 2,
+        max_depth=4)
+    assert done == 2 and rays > 0
+    assert np.isfinite(acc).all()
+    assert acc.mean() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_spp_mesh_psum(setup):
+    """2-D mesh: 4 tile shards x 2 spp shards, radiance psum over spp."""
+    scene, cam = setup
+    mesh = sharding.make_mesh(n_tile=4, n_spp=2)
+    acc, done, rays = sharding.render_sharded(
+        naive.render_sample, mesh, scene, cam, 16, 16, 4, max_depth=4)
+    assert done == 4
+    assert np.isfinite(acc).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device_brightness(setup):
+    """Sharded and unsharded renders use different (per-chip) RNG streams but
+    must agree in expectation."""
+    scene, cam = setup
+    mesh = sharding.make_mesh(n_tile=8, n_spp=1)
+    spp = 48
+    acc_s, done, _ = sharding.render_sharded(
+        naive.render_sample, mesh, scene, cam, 16, 16, spp, max_depth=4)
+    from cudapathtracer_tpu.utils import rng
+    import jax.numpy as jnp
+    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(16))
+    key = rng.base_key()
+    acc_u = np.zeros_like(acc_s)
+    for s in range(spp):
+        li, _ = naive.render_sample(scene, cam, key, s, px.ravel(), py.ravel(),
+                                    max_depth=4)
+        acc_u += np.asarray(li)
+    m_s, m_u = acc_s.mean() / done, acc_u.mean() / spp
+    assert abs(m_s - m_u) / m_u < 0.1
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    li, rays = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(li)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
