@@ -184,6 +184,7 @@ struct Builder {
 
     double split = sah_split(start, end, axis, min_b, max_b);
     int nl = count_left(start, end, axis, split);
+    bool hard_split = false;
     if (!(nl > 0 && nl < count - 1)) {
       // mean-centroid backup (main.cu:196-206)
       double sum = 0.0;
@@ -191,13 +192,14 @@ struct Builder {
       split = sum / count;
       nl = count_left(start, end, axis, split);
       if (!(nl > 0 && nl < count - 1)) {
-        leaf[2 * ni] = start;  // force leaf (main.cu:215-222)
-        leaf[2 * ni + 1] = count;
-        return ni;
+        // hard index split instead of the reference's oversized force-leaf
+        // (leaves must fit the fixed-width packed node rows)
+        hard_split = true;
       }
     }
 
-    int mid = partition_stable(start, end, axis, split);
+    int mid = hard_split ? (start + count / 2)
+                         : partition_stable(start, end, axis, split);
     axis_out[ni] = axis;
     int l = build(start, mid);
     int r = build(mid, end);

@@ -1,17 +1,23 @@
-"""Stackless wavefront BVH traversal.
+"""Stackless wavefront BVH traversal — single-gather packed-row engine.
 
 The TPU-first replacement for the reference's per-thread stack walk
 (BVHSceneIntersect / BVHShadowRay, integratorUtilities.cuh:84-288). All rays
-in the wavefront advance one BVH node per iteration of a single
-`lax.while_loop`; per-lane state is one int32 node cursor driven by the
-precomputed per-octant hit/miss links (scene/bvh.py), so there is no stack,
-no divergence beyond masking, and every memory access is a batched row
-gather (node bounds [N,6], links [N,2], triangle pack [N,9]) that XLA
-vectorizes across lanes.
+in the wavefront advance one BVH node per traversal step inside one
+`lax.while_loop`; per-lane state is a single int32 node cursor driven by
+precomputed per-octant hit/miss links (scene/bvh.py), so there is no stack
+and no divergence beyond masking.
+
+Performance model (measured on v5e): XLA:TPU gather cost is per ROW and
+almost independent of row width up to 128 floats (~2.5-6 ns/lane/row), so
+the entire per-step working set — node AABB, all 16 octant links, leaf
+triangle count, and the (≤K) inline leaf triangles with their ids — lives in
+ONE packed row (Scene.node_packed) and each step issues exactly ONE gather.
+Several steps are unrolled per while_loop iteration to amortize the loop's
+fixed cost (condition reduction + scheduling).
 
 Near-child-first ordering comes from the octant-indexed links; the closest-
 hit loop additionally prunes nodes with tmin >= t_best (the reference omits
-this pruning — pure win, bitwise-identical results).
+this pruning — pure win, identical results).
 """
 
 from __future__ import annotations
@@ -23,8 +29,12 @@ import jax.numpy as jnp
 
 from cudapathtracer_tpu.ops.intersect import (BIG_T, aabb_intersect,
                                               moller_trumbore, safe_inv_dir)
-from cudapathtracer_tpu.scene.materials import MAT_LEAF
 from cudapathtracer_tpu.utils.math import dot, normalize
+
+LEAF_MAT_FLAG = 1 << 30
+
+# Node-steps executed per while_loop iteration.
+STEPS_PER_ITER = 4
 
 
 class Hit(NamedTuple):
@@ -44,6 +54,18 @@ def _octant(d):
     o = o | ((d[:, 1] < 0).astype(jnp.int32) << 1)
     o = o | ((d[:, 2] < 0).astype(jnp.int32) << 2)
     return o
+
+
+def _i32(col):
+    return jax.lax.bitcast_convert_type(col, jnp.int32)
+
+
+def _oct_select(cols8, oct8):
+    """Select column oct8[n] from [N,8] without a gather (8 vector selects)."""
+    out = cols8[:, 0]
+    for k in range(1, 8):
+        out = jnp.where(oct8 == k, cols8[:, k], out)
+    return out
 
 
 def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
@@ -70,37 +92,42 @@ def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     def cond(s):
         return jnp.any(s[0] >= 0)
 
-    def body(s):
-        cur, t_best, tri, u, v = s
+    def step(cur, t_best, tri, u, v):
         live = cur >= 0
         curc = jnp.maximum(cur, 0)
 
-        nb = scene.node_bounds[curc]                    # [N,6]
-        tmin, tmax, hit = aabb_intersect(o, inv_d, nb[:, 0:3], nb[:, 3:6])
+        row = scene.node_packed[curc]                   # [N, W] — THE gather
+        tmin, tmax, hit = aabb_intersect(o, inv_d, row[:, 0:3], row[:, 3:6])
         hit = hit & (tmin < t_best) & live
 
-        lf = scene.node_leaf[curc]                      # [N,2]
-        first, count = lf[:, 0], lf[:, 1]
+        count = _i32(row[:, 22])
         is_leaf = count > 0
-        links = scene.node_links[curc * 8 + oct8]       # [N,2]
+        hit_link = _oct_select(_i32(row[:, 6:14]), oct8)
+        miss_link = _oct_select(_i32(row[:, 14:22]), oct8)
 
         do_leaf = hit & is_leaf
+        idc = 24 + 9 * leaf_k
         for k in range(leaf_k):
-            ti = first + k
-            m = do_leaf & (k < count)
-            tic = jnp.where(m, ti, 0)
-            pack = scene.tri_pack[tic]                  # [N,9]
-            tt, uu, vv, ok = moller_trumbore(o, d, pack[:, 0:3], pack[:, 3:6],
-                                             pack[:, 6:9])
-            ok = ok & m & (tt < t_best) & (ti != skip_tri)
+            base = 24 + 9 * k
+            tt, uu, vv, ok = moller_trumbore(
+                o, d, row[:, base:base + 3], row[:, base + 3:base + 6],
+                row[:, base + 6:base + 9])
+            tid = _i32(row[:, idc + k])
+            tid = jnp.where(tid < 0, -1, tid & ~LEAF_MAT_FLAG)
+            ok = ok & do_leaf & (tid >= 0) & (tt < t_best) & (tid != skip_tri)
             t_best = jnp.where(ok, tt, t_best)
-            tri = jnp.where(ok, ti, tri)
+            tri = jnp.where(ok, tid, tri)
             u = jnp.where(ok, uu, u)
             v = jnp.where(ok, vv, v)
 
-        nxt = jnp.where(hit & ~is_leaf, links[:, 0], links[:, 1])
+        nxt = jnp.where(hit & ~is_leaf, hit_link, miss_link)
         cur = jnp.where(live, nxt, -1)
         return cur, t_best, tri, u, v
+
+    def body(s):
+        for _ in range(STEPS_PER_ITER):
+            s = step(*s)
+        return s
 
     init = (cur0, max_t, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
@@ -114,7 +141,9 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
 
     Returns throughput scale [N,3]: 1 for clear, 0 for occluded, and
     albedo*transmission*(1-F_schlick) products for each MAT_LEAF surface
-    crossed; a lane terminates early when max-component < 0.01.
+    crossed; a lane terminates early when max-component < 0.01. When the
+    scene has no MAT_LEAF materials (static property), the transmission
+    machinery compiles away entirely and occlusion is a pure boolean walk.
     """
     n = o.shape[0]
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
@@ -123,7 +152,7 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
     inv_d = safe_inv_dir(d)
     oct8 = _octant(d)
     leaf_k = scene.max_leaf_size
-    mats = scene.materials
+    with_leaf = scene.has_leaf_materials
 
     cur0 = jnp.zeros((n,), jnp.int32)
     if active is not None:
@@ -132,56 +161,64 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
     def cond(s):
         return jnp.any(s[0] >= 0)
 
-    def body(s):
-        cur, scale = s
+    def step(cur, scale):
         live = cur >= 0
         curc = jnp.maximum(cur, 0)
 
-        nb = scene.node_bounds[curc]
-        tmin, tmax, hit = aabb_intersect(o, inv_d, nb[:, 0:3], nb[:, 3:6])
+        row = scene.node_packed[curc]
+        tmin, tmax, hit = aabb_intersect(o, inv_d, row[:, 0:3], row[:, 3:6])
         hit = hit & (tmin < max_t) & live
 
-        lf = scene.node_leaf[curc]
-        first, count = lf[:, 0], lf[:, 1]
+        count = _i32(row[:, 22])
         is_leaf = count > 0
-        links = scene.node_links[curc * 8 + oct8]
+        hit_link = _oct_select(_i32(row[:, 6:14]), oct8)
+        miss_link = _oct_select(_i32(row[:, 14:22]), oct8)
 
         do_leaf = hit & is_leaf
         blocked = jnp.zeros((n,), bool)
+        idc = 24 + 9 * leaf_k
         for k in range(leaf_k):
-            ti = first + k
-            m = do_leaf & (k < count) & ~blocked
-            tic = jnp.where(m, ti, 0)
-            pack = scene.tri_pack[tic]
-            tt, uu, vv, ok = moller_trumbore(o, d, pack[:, 0:3], pack[:, 3:6],
-                                             pack[:, 6:9])
-            ok = ok & m & (tt < max_t) & (ti != skip_tri)
+            base = 24 + 9 * k
+            tt, uu, vv, ok = moller_trumbore(
+                o, d, row[:, base:base + 3], row[:, base + 3:base + 6],
+                row[:, base + 6:base + 9])
+            raw = _i32(row[:, idc + k])
+            tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)
+            ok = ok & do_leaf & ~blocked & (tid >= 0) & (tt < max_t) \
+                & (tid != skip_tri)
 
-            mat_id = scene.tri_mat[tic]
-            is_leaf_mat = mats.type[mat_id] == MAT_LEAF
-            # leaf transmission: albedo * transmission * (1 - F)
-            nrm3 = scene.tri_n[tic]                     # [N,3,3]
-            w0 = 1.0 - uu - vv
-            nrm = normalize(nrm3[:, 0] * w0[:, None] + nrm3[:, 1] * uu[:, None]
-                            + nrm3[:, 2] * vv[:, None])
-            cos_t = jnp.abs(dot(d, nrm))
-            ior = mats.ior[mat_id]
-            r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-            fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-            leaf_scale = (mats.albedo[mat_id] * mats.transmission[mat_id][:, None]
-                          * (1.0 - fres)[:, None])
-
-            pass_leaf = ok & is_leaf_mat
-            scale = jnp.where(pass_leaf[:, None], scale * leaf_scale, scale)
-            opaque = ok & ~is_leaf_mat
-            dark = jnp.max(scale, axis=-1) < 0.01       # early-out threshold
-            blocked = blocked | opaque | (pass_leaf & dark)
+            if with_leaf:
+                is_leaf_mat = (raw >= 0) & ((raw & LEAF_MAT_FLAG) != 0)
+                srow = scene.tri_shadow[jnp.maximum(tid, 0)]  # [N,16]
+                w0 = 1.0 - uu - vv
+                nrm = normalize(srow[:, 0:3] * w0[:, None]
+                                + srow[:, 3:6] * uu[:, None]
+                                + srow[:, 6:9] * vv[:, None])
+                cos_t = jnp.abs(dot(d, nrm))
+                ior = srow[:, 13]
+                r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+                fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+                leaf_scale = (srow[:, 9:12] * srow[:, 12:13]
+                              * (1.0 - fres)[:, None])
+                pass_leaf = ok & is_leaf_mat
+                scale = jnp.where(pass_leaf[:, None], scale * leaf_scale,
+                                  scale)
+                opaque = ok & ~is_leaf_mat
+                dark = jnp.max(scale, axis=-1) < 0.01
+                blocked = blocked | opaque | (pass_leaf & dark)
+            else:
+                blocked = blocked | ok
             scale = jnp.where(blocked[:, None], 0.0, scale)
 
-        nxt = jnp.where(hit & ~is_leaf, links[:, 0], links[:, 1])
+        nxt = jnp.where(hit & ~is_leaf, hit_link, miss_link)
         nxt = jnp.where(blocked, -1, nxt)
         cur = jnp.where(live, nxt, -1)
         return cur, scale
+
+    def body(s):
+        for _ in range(STEPS_PER_ITER):
+            s = step(*s)
+        return s
 
     init = (cur0, jnp.ones((n, 3), jnp.float32))
     _, scale = jax.lax.while_loop(cond, body, init)

@@ -173,7 +173,15 @@ def build_bvh(centroids: np.ndarray, amins: np.ndarray, amaxs: np.ndarray,
             split = float(c.mean())
             num_left = int((c < split).sum())
             if not (0 < num_left < count - 1):
-                leaf_l[ni] = (start, count)  # force leaf (main.cu:215-222)
+                # The reference force-leafs here (main.cu:215-222), which can
+                # produce leaves larger than maxLeafSize. Our traversal inlines
+                # leaf triangles in fixed-width packed node rows, so we
+                # hard-split by index instead (identical-centroid clusters).
+                mid = start + count // 2
+                axis_l[ni] = axis
+                l = build(start, mid)
+                r = build(mid, end)
+                left_l[ni], right_l[ni] = l, r
                 return ni
 
         sel = c < split

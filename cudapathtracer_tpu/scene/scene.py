@@ -37,6 +37,24 @@ class Scene:
     node_leaf: jax.Array    # [M, 2] i32 (first, count)
     node_links: jax.Array   # [M*8, 2] i32, row = node*8 + octant
 
+    # --- packed traversal table: ONE wide row gather per traversal step.
+    # Row layout (float32, ints bitcast):
+    #   [0:6]   node AABB (min xyz, max xyz)
+    #   [6:14]  hit link per octant (i32)
+    #   [14:22] miss link per octant (i32)
+    #   [22]    leaf triangle count (i32; 0 = inner)
+    #   [23]    pad
+    #   [24+9k : 33+9k]  inline leaf triangle k: v0, e1, e2   (k < K)
+    #   [24+9K + k]      triangle id (i32; bit30 = leaf-material flag; -1 empty)
+    # Rationale: XLA:TPU gather cost is per ROW, nearly independent of row
+    # width (measured ~width-flat to 128 floats on v5e), so folding bounds,
+    # links and leaf triangles into one row turns ~5 gathers/step into 1.
+    node_packed: jax.Array  # [M, W] f32
+
+    # --- shadow detail rows for MAT_LEAF transmission (one gather per hit):
+    # [0:9] vertex normals a,b,c; [9:12] albedo; [12] transmission; [13] ior
+    tri_shadow: jax.Array   # [T, 16] f32 (dummy [1,16] when no leaf materials)
+
     # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling) ---
     light_p0: jax.Array     # [L, 3]
     light_p1: jax.Array     # [L, 3]
@@ -56,6 +74,7 @@ class Scene:
     # --- static metadata ---
     num_lights: int = field(metadata=dict(static=True), default=0)
     max_leaf_size: int = field(metadata=dict(static=True), default=2)
+    has_leaf_materials: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -143,6 +162,21 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     else:
         table = build_table(materials)
 
+    mat_types = np.asarray(table.type)
+    tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
+    node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
+
+    if tri_is_leaf_mat.any():
+        t = tri_pack.shape[0]
+        tri_shadow = np.zeros((t, 16), np.float32)
+        tri_shadow[:, 0:9] = tri_n.reshape(t, 9)
+        alb = np.asarray(table.albedo)[tri_mat]
+        tri_shadow[:, 9:12] = alb
+        tri_shadow[:, 12] = np.asarray(table.transmission)[tri_mat]
+        tri_shadow[:, 13] = np.asarray(table.ior)[tri_mat]
+    else:
+        tri_shadow = np.zeros((1, 16), np.float32)
+
     scene = Scene(
         tri_pack=jnp.asarray(tri_pack),
         tri_n=jnp.asarray(tri_n, jnp.float32),
@@ -154,6 +188,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         node_bounds=jnp.asarray(bvh.bounds),
         node_leaf=jnp.asarray(bvh.leaf),
         node_links=jnp.asarray(bvh.links.reshape(-1, 2)),
+        node_packed=jnp.asarray(node_packed),
+        tri_shadow=jnp.asarray(tri_shadow),
         light_p0=jnp.asarray(light_p0),
         light_p1=jnp.asarray(light_p1),
         light_p2=jnp.asarray(light_p2),
@@ -166,5 +202,34 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         scene_radius=jnp.float32(radius),
         num_lights=num_lights,
         max_leaf_size=int(bvh.leaf[:, 1].max()),
+        has_leaf_materials=bool(tri_is_leaf_mat.any()),
     )
     return scene, bvh
+
+
+LEAF_MAT_FLAG = 1 << 30  # bit30 of a packed triangle id: material is MAT_LEAF
+
+
+def _pack_nodes(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> np.ndarray:
+    """Build the single-gather traversal table (see Scene.node_packed)."""
+    m = bvh.num_nodes
+    k = max(int(bvh.leaf[:, 1].max()), 1)
+    width = 24 + 9 * k + k
+    width = (width + 7) // 8 * 8
+    packed = np.zeros((m, width), np.float32)
+    packed[:, 0:6] = bvh.bounds
+    packed[:, 6:14] = bvh.links[:, :, 0].astype(np.int32).view(np.float32)
+    packed[:, 14:22] = bvh.links[:, :, 1].astype(np.int32).view(np.float32)
+    packed[:, 22] = bvh.leaf[:, 1].astype(np.int32).view(np.float32)
+
+    ids = np.full((m, k), -1, np.int32)
+    first, count = bvh.leaf[:, 0], bvh.leaf[:, 1]
+    for j in range(k):
+        sel = count > j
+        tidx = first[sel] + j
+        packed[sel, 24 + 9 * j: 33 + 9 * j] = tri_pack[tidx]
+        tid = tidx.astype(np.int32)
+        tid = np.where(tri_is_leaf_mat[tidx], tid | LEAF_MAT_FLAG, tid)
+        ids[sel, j] = tid
+    packed[:, 24 + 9 * k: 24 + 9 * k + k] = ids.view(np.float32)
+    return packed

@@ -29,12 +29,16 @@ def test_bvh_matches_brute_force(scene):
     hit = traverse.closest_hit(scene, o, d)
     bt, btri, bu, bv = intersect.brute_force_closest_hit(
         o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2)
-    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(btri))
-    m = np.asarray(hit.tri) >= 0
-    np.testing.assert_allclose(np.asarray(hit.t)[m], np.asarray(bt)[m],
-                               rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(hit.u)[m], np.asarray(bu)[m],
+    ht, bt_, bb = np.asarray(hit.tri), np.asarray(bt), np.asarray(btri)
+    # same hit/miss classification; where the triangle differs it must be a
+    # tie (edge shared by two triangles) at identical distance
+    np.testing.assert_array_equal(ht >= 0, bb >= 0)
+    m = ht >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[m], bt_[m], rtol=1e-5)
+    same = m & (ht == bb)
+    np.testing.assert_allclose(np.asarray(hit.u)[same], np.asarray(bu)[same],
                                atol=1e-5)
+    assert same.sum() >= 0.9 * m.sum()
 
 
 def test_bvh_matches_brute_force_spheres():
@@ -43,7 +47,11 @@ def test_bvh_matches_brute_force_spheres():
     hit = traverse.closest_hit(sc, o, d)
     bt, btri, _, _ = intersect.brute_force_closest_hit(
         o, d, sc.tri_v0, sc.tri_e1, sc.tri_e2)
-    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(btri))
+    ht, bb = np.asarray(hit.tri), np.asarray(btri)
+    np.testing.assert_array_equal(ht >= 0, bb >= 0)
+    m = ht >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[m], np.asarray(bt)[m],
+                               rtol=1e-5)
 
 
 def test_max_t_respected(scene):
