@@ -1,0 +1,364 @@
+"""Vertex Connection and Merging (+ SPPM as flag-restricted VCM).
+
+Wavefront re-design of the reference VCM (deviceCode.cu:1958-3496):
+  1. light pass — VCM light walk (models/paths.py with the eta_vcm-extended
+     d_vcm/d_vc/d_vm recursion) that also deposits photons at every
+     non-delta vertex, plus the t=1 light-trace splat with the eta_vcm MIS
+     term (scatter-add instead of atomicAdd)
+  2. photon grid build — sort-based (ops/hashgrid.py) instead of
+     CUB radix sort + open hash table
+  3. eye pass — on-the-fly eye walk (no stored eye path, mirroring the
+     reference's VRAM-saving choice, deviceCode.cu:2861) with per-bounce
+     connections (s=0 implicit, s=1 NEE, s>=2 vs the stored light path) and
+     the photon-merge estimator beta_p * f * beta_e / (pi r^2 n_paths)
+
+SPPM = connections/NEE/naive/light-trace/MIS off, merge on, break after the
+first non-delta merge surface (main.cu:325-333, deviceCode.cu:3046).
+
+Faithfully kept reference quirks (cited): connectNEE's squared bsdfRatio in
+wLight (deviceCode.cu:2533 — unlike BDPT's linear ratio), the eta-less
+implicit-hit weight (2436-2446), per-connection firefly clamping of the
+*weighted* contribution (2955-2960). Deviations: merge-side local directions
+are normalized before BSDF/pdf evaluation (the reference feeds unnormalized
+vectors, deviceCode.cu:3003-3014, which distorts GGX evaluation; identical
+for Lambertian surfaces), and neighborhood queries use bounded 8-cell/2r
+lookups (ops/hashgrid.py) instead of unbounded 27-cell scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cudapathtracer_tpu.models import common, mis, paths
+from cudapathtracer_tpu.models.bdpt import (MAX_G_CONNECT, _bdpt_nee,
+                                            _plane_area, _weighted)
+from cudapathtracer_tpu.ops import bsdf as bsdf_ops
+from cudapathtracer_tpu.ops import hashgrid, traverse
+from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils.math import (EPSILON, MAX_FIREFLY_LUM, PI,
+                                           RAY_EPSILON, dot, length_sq,
+                                           luminance, merge_radius, normalize,
+                                           to_local, to_world)
+
+
+@dataclass(frozen=True)
+class VCMConfig:
+    eye_depth: int = 16
+    light_depth: int = 10
+    light_trace: bool = True
+    nee: bool = True
+    naive: bool = True
+    connection: bool = True
+    do_mis: bool = True
+    do_merge: bool = True
+    do_sppm: bool = False
+    paint_weight: bool = False
+    merge_alpha: float = 0.7           # "VCM Merge Radius Power Factor"
+    r0_multiplier: float = 0.01        # "VCM Initial Merge Radius Multiplier"
+    max_per_cell: int = 8              # bounded-gather cap (see module doc)
+
+    @staticmethod
+    def from_config(cfg) -> "VCMConfig":
+        return VCMConfig(
+            eye_depth=max(cfg.bdpt_eye_depth, 1),
+            light_depth=max(cfg.bdpt_light_depth, 1),
+            light_trace=cfg.bdpt_light_trace, nee=cfg.bdpt_nee,
+            naive=cfg.bdpt_naive, connection=cfg.bdpt_connection,
+            do_mis=cfg.bdpt_do_mis, do_merge=cfg.vcm_do_merge,
+            do_sppm=cfg.do_sppm, paint_weight=cfg.bdpt_paint_weight,
+            merge_alpha=cfg.vcm_merge_const or 0.7,
+            r0_multiplier=cfg.vcm_initial_merge_radius_multiplier or 0.01)
+
+
+def _clamp_firefly(c):
+    lum = luminance(c)
+    scale = jnp.where(lum > MAX_FIREFLY_LUM,
+                      MAX_FIREFLY_LUM / jnp.maximum(lum, 1e-20), 1.0)
+    return c * scale[:, None]
+
+
+def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
+    """t=1 splat over stored VCM light vertices (deviceCode.cu:2266-2382).
+    Unlike BDPT, the light endpoint itself is not stored/splatted."""
+    n = fb.shape[0]
+    w, h = camera.width, camera.height
+    plane_area = _plane_area(camera)
+    ones = jnp.ones((n,), jnp.float32)
+    rays = jnp.int32(0)
+
+    for j in range(cfg.light_depth):
+        go = lbufs.valid[j] & ~lbufs.is_delta[j]
+        pt, nrm = lbufs.pt[j], lbufs.n[j]
+        rx, ry, on_screen = camera.world_to_raster(pt)
+        go = go & on_screen
+
+        to_cam = camera.origin - pt
+        dist = jnp.sqrt(jnp.maximum(length_sq(to_cam), 1e-20))
+        tcu = to_cam / dist[:, None]
+        rays = rays + jnp.sum(go.astype(jnp.int32))
+        shadow = traverse.shadow_factor(scene, pt + nrm * RAY_EPSILON, tcu,
+                                        dist - RAY_EPSILON, active=go)
+        clear = jnp.max(shadow, axis=-1) > 0.0
+        cos_l = dot(nrm, tcu)
+        cos_c = jnp.abs(dot(jnp.broadcast_to(camera.forward, tcu.shape), -tcu))
+        go = go & clear & (cos_l > EPSILON)
+
+        to_cam_local = to_local(tcu, nrm)
+        to_prev_local = to_local(lbufs.wo[j], nrm)
+        mat = scene.materials.gather(lbufs.mat_id[j])
+        albedo = bsdf_ops.resolve_albedo(scene, mat, lbufs.uv[j])
+        light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local, to_cam_local,
+                                  ones)
+
+        d2 = jnp.maximum(length_sq(to_cam), RAY_EPSILON)
+        we = 1.0 / (plane_area * cos_c ** 4)
+        g = cos_l * cos_c / d2
+        contrib = lbufs.beta[j] * light_f * (g * we)[:, None] * shadow
+
+        pdf_curr_rev_area = cos_l / (d2 * plane_area * cos_c ** 3)
+        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local, ones)
+        w_light = pdf_curr_rev_area * (eta_vcm + lbufs.d_vcm[j]
+                                       + pdf_rev_sa * lbufs.d_vc[j])
+        weight = 1.0 / (1.0 + w_light)
+
+        out = jnp.where(go[:, None], _weighted(contrib, weight, cfg), 0.0)
+        pix = (jnp.clip(ry.astype(jnp.int32), 0, h - 1) * w
+               + jnp.clip(rx.astype(jnp.int32), 0, w - 1))
+        fb = fb.at[pix].add(out, mode="drop")
+    return fb, rays
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample(scene, camera, base_key, sample_idx, px, py, *,
+                  cfg: VCMConfig):
+    """One progressive VCM/SPPM sample -> (radiance [N,3], rays)."""
+    n = px.shape[0]
+    skey = rng.sample_key(base_key, sample_idx)
+    key_l = jax.random.fold_in(skey, 1)
+    key_e = jax.random.fold_in(skey, 2)
+    ones = jnp.ones((n,), jnp.float32)
+    num_lights = max(scene.num_lights, 1)
+
+    # progressive merge radius (util.cuh:415-418; r0 = sceneRadius * mult,
+    # deviceCode.cu:3328)
+    r0 = scene.scene_radius * cfg.r0_multiplier
+    mr = merge_radius(r0, jnp.asarray(sample_idx, jnp.float32),
+                      cfg.merge_alpha)
+    eta_vcm = n * PI * mr * mr
+
+    # ---- light pass ----
+    start, lv0 = paths.start_light_walk(scene, key_l, n)
+    first_vm_seed = start.first_vc_scale / jnp.maximum(eta_vcm, 1e-30)
+    lbufs, lrays = paths.random_walk(
+        scene, key_l, start, cfg.light_depth + 1, 1,  # TRANSPORT_IMPORTANCE
+        eta_vcm=eta_vcm, first_vm_seed=first_vm_seed)
+
+    fb = jnp.zeros((n, 3), jnp.float32)
+    rays_s = jnp.int32(0)
+    if cfg.light_trace:
+        fb, rays_s = vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb)
+
+    # ---- photon grid ----
+    grid = None
+    if cfg.do_merge:
+        pmask = (lbufs.valid & ~lbufs.is_delta).reshape(-1)
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        rows = hashgrid.pack_photons(flat(lbufs.pt), flat(lbufs.wo),
+                                     flat(lbufs.n), flat(lbufs.beta),
+                                     flat(lbufs.d_vcm), flat(lbufs.d_vm))
+        table = hashgrid.photon_table_size(rows.shape[0])
+        grid = hashgrid.build_grid(rows, pmask, scene.node_bounds[0, 0:3],
+                                   mr, table)
+
+    # ---- eye pass (on-the-fly walk + per-bounce connections/merge) ----
+    estart, _ = paths.start_eye_walk(scene, camera, key_e, px, py)
+
+    def body(carry, depth):
+        (o, d, thr, prev_pdf_sa, prev_cos, prev_pt, mstate, alive, prev_delta,
+         colorsum, rays) = carry
+        bkey = rng.bounce_key(key_e, depth)
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
+
+        hit = traverse.closest_hit(scene, o, d, active=alive)
+        info = traverse.interpolate_hit(scene, o, d, hit)
+        reached = alive & hit.valid
+
+        normal = info["normal"]
+        pos = info["point"]
+        wo_local = to_local(d, normal)
+        mat = scene.materials.gather(info["mat_id"])
+        albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        cur_delta = mat.is_specular
+
+        d2p = jnp.maximum(length_sq(pos - prev_pt), RAY_EPSILON)
+        pdf_fwd_area = prev_pdf_sa * jnp.abs(wo_local[..., 2]) / d2p
+        g = prev_cos / d2p
+
+        wi_local, f_val, pdf_sa = bsdf_ops.bsdf_sample(
+            bkey, 0, mat, albedo, -wo_local, info["backface"], ones, 0)
+        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, ones)
+        valid = reached & (pdf_sa >= EPSILON)
+
+        first_d_vcm = 1.0 / jnp.maximum(pdf_fwd_area, 1e-20)
+        d_vcm, d_vc, d_vm, mstate2 = mis.advance(
+            mstate, depth == 0, pdf_fwd_area, g, pdf_rev_sa, cur_delta,
+            first_d_vcm, jnp.zeros((n,)), jnp.zeros((n,)), eta_vcm)
+
+        conn = valid & ~cur_delta
+        ev = dict(pt=pos, n=normal, uv=info["uv"])
+        prev_to_curr = pos - prev_pt
+        prev_to_curr_local = to_local(prev_to_curr, normal)
+
+        # ---- s = 0: implicit hit (connectImplicitHit, deviceCode.cu:2389)
+        if cfg.naive:
+            is_light = conn & (info["light_ind"] >= 0) & ~info["backface"]
+            lidx = jnp.maximum(info["light_ind"], 0)
+            le = scene.light_emission[lidx]
+            area = scene.light_area[lidx]
+            cos_l = dot(normal, normalize(prev_pt - pos))
+            pdf_connect = jnp.where(prev_delta, 0.0,
+                                    (1.0 / num_lights)
+                                    / jnp.maximum(area, 1e-20))
+            # NOTE: no eta_vcm term here (reference quirk, 2436-2446)
+            w_eye = pdf_connect * d_vcm + pdf_connect * (cos_l / PI) * d_vc
+            weight = 1.0 / (1.0 + w_eye)
+            out = _weighted(le * thr, weight, cfg)
+            out = _clamp_firefly(out)
+            colorsum = colorsum + jnp.where(is_light[:, None], out, 0.0)
+
+        # ---- s = 1: NEE (connectNEE, deviceCode.cu:2460-2549)
+        if cfg.nee and scene.num_lights > 0:
+            rays = rays + jnp.sum(conn.astype(jnp.int32))
+            ne = _bdpt_nee(scene, bkey, 7, ev, mat, albedo,
+                           prev_to_curr_local, conn)
+            pdf_bsdf_sa = bsdf_ops.bsdf_pdf(mat, -prev_to_curr_local,
+                                            ne["stl_local"], ones)
+            pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(ne["cos_light"]) / ne["d2"]
+            ratio = pdf_bsdf_area / jnp.maximum(ne["pdf_connect"], 1e-20)
+            w_light = ratio * ratio  # reference quirk: squared (2533)
+            pdf_curr_rev_area = (ne["pdf_emit_sa"]
+                                 * jnp.abs(ne["stl_local"][..., 2]) / ne["d2"])
+            pdf_prev_rev_sa = bsdf_ops.bsdf_pdf(mat, ne["stl_local"],
+                                                -prev_to_curr_local, ones)
+            w_eye = pdf_curr_rev_area * (eta_vcm + d_vcm
+                                         + pdf_prev_rev_sa * d_vc)
+            weight = 1.0 / (1.0 + w_light + w_eye)
+            out = _weighted(ne["contrib"] * thr, weight, cfg)
+            out = _clamp_firefly(out)
+            colorsum = colorsum + jnp.where((conn & ne["ok"])[:, None], out,
+                                            0.0)
+
+        # ---- s >= 2: connections vs stored light path (connectGeneral)
+        if cfg.connection:
+            for j in range(cfg.light_depth):
+                do = (conn & lbufs.valid[j] & ~lbufs.is_delta[j])
+                lpt, lnrm = lbufs.pt[j], lbufs.n[j]
+                e2l = lpt - pos
+                d2 = jnp.maximum(length_sq(e2l), RAY_EPSILON)
+                dist = jnp.sqrt(d2)
+                e2l_u = e2l / dist[:, None]
+                cos_l = jnp.abs(dot(lnrm, -e2l_u))
+                cos_e = jnp.abs(dot(normal, e2l_u))
+                do = do & (cos_l >= EPSILON) & (cos_e >= EPSILON)
+
+                rays = rays + jnp.sum(do.astype(jnp.int32))
+                shadow = traverse.shadow_factor(
+                    scene, pos + normal * RAY_EPSILON, e2l_u,
+                    dist - RAY_EPSILON, active=do)
+                do = do & (jnp.max(shadow, axis=-1) > 0.0)
+
+                mat_l = scene.materials.gather(lbufs.mat_id[j])
+                albedo_l = bsdf_ops.resolve_albedo(scene, mat_l, lbufs.uv[j])
+                l2e_loc_l = to_local(-e2l_u, lnrm)
+                to_l_from_prev_loc = to_local(-lbufs.wo[j], lnrm)
+                l2e_loc_e = to_local(-e2l_u, normal)
+                to_prev_loc_e = to_local(normalize(prev_pt - pos), normal)
+
+                pdf_eye_rev_sa = bsdf_ops.bsdf_pdf(
+                    mat_l, -to_l_from_prev_loc, l2e_loc_l, ones)
+                pdf_eye_rev_area = pdf_eye_rev_sa * cos_e / d2
+                pdf_bef_eye_rev_sa = bsdf_ops.bsdf_pdf(
+                    mat, -l2e_loc_e, to_prev_loc_e, ones)
+                pdf_light_rev_sa = bsdf_ops.bsdf_pdf(
+                    mat, to_prev_loc_e, -l2e_loc_e, ones)
+                pdf_light_rev_area = pdf_light_rev_sa * cos_l / d2
+                pdf_bef_light_rev_sa = bsdf_ops.bsdf_pdf(
+                    mat_l, l2e_loc_l, -to_l_from_prev_loc, ones)
+
+                w_eye = pdf_eye_rev_area * (eta_vcm + d_vcm
+                                            + pdf_bef_eye_rev_sa * d_vc)
+                w_light = pdf_light_rev_area * (
+                    eta_vcm + lbufs.d_vcm[j]
+                    + pdf_bef_light_rev_sa * lbufs.d_vc[j])
+                weight = 1.0 / (1.0 + w_eye + w_light)
+
+                f_eye = bsdf_ops.bsdf_f(mat, albedo, -l2e_loc_e,
+                                        to_prev_loc_e, ones)
+                f_light = bsdf_ops.bsdf_f(mat_l, albedo_l, l2e_loc_l,
+                                          -to_l_from_prev_loc, ones)
+                gg = jnp.minimum(cos_e * cos_l / d2, MAX_G_CONNECT)
+                contrib = (thr * lbufs.beta[j] * f_eye * f_light
+                           * gg[:, None] * shadow)
+                out = _clamp_firefly(_weighted(contrib, weight, cfg))
+                colorsum = colorsum + jnp.where(do[:, None], out, 0.0)
+
+        # ---- merge (deviceCode.cu:2968-3048)
+        if cfg.do_merge:
+            merge_norm = 1.0 / (PI * mr * mr * n)
+            for row, in_range in hashgrid.gather_neighbors(
+                    grid, pos, mr, cfg.max_per_cell, active=conn):
+                photon_wi = row[:, 3:6]       # toward the photon's prev
+                p_d_vcm, p_d_vm = row[:, 12], row[:, 13]
+                wi_loc = to_local(photon_wi, normal)
+                eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
+                f_val = bsdf_ops.bsdf_f(mat, albedo, wi_loc, eye_prev_loc,
+                                        ones)
+                pdf_eye_rev = bsdf_ops.bsdf_pdf(mat, wi_loc, eye_prev_loc,
+                                                ones)
+                pdf_light_rev = bsdf_ops.bsdf_pdf(mat, eye_prev_loc, wi_loc,
+                                                  ones)
+                w_eye = d_vcm / jnp.maximum(eta_vcm, 1e-30) \
+                    + pdf_eye_rev * d_vm
+                w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
+                    + pdf_light_rev * p_d_vm
+                weight = 1.0 / (1.0 + w_eye + w_light)
+                contrib = row[:, 9:12] * f_val * thr * merge_norm
+                out = _weighted(contrib, weight, cfg)
+                colorsum = colorsum + jnp.where(in_range[:, None], out, 0.0)
+
+        # ---- continue the walk / SPPM first-surface break
+        new_thr = thr * f_val * (jnp.abs(wi_local[..., 2])
+                                 / jnp.maximum(pdf_sa, 1e-20))[:, None]
+        wi_world = normalize(to_world(wi_local, normal))
+        transmitting = dot(wi_world, normal) < 0.0
+        side = jnp.where(transmitting, -1.0, 1.0)
+        new_o = pos + normal * (side * RAY_EPSILON)[:, None]
+
+        keep = valid
+        if cfg.do_sppm and cfg.do_merge:
+            keep = keep & cur_delta  # break after first non-delta surface
+
+        upd = valid[:, None]
+        carry2 = (jnp.where(upd, new_o, o), jnp.where(upd, wi_world, d),
+                  jnp.where(upd, new_thr, thr),
+                  jnp.where(valid, pdf_sa, prev_pdf_sa),
+                  jnp.where(valid, jnp.abs(wi_local[..., 2]), prev_cos),
+                  jnp.where(upd, pos, prev_pt),
+                  jax.tree.map(lambda a2, a1: jnp.where(valid, a2, a1),
+                               mstate2, mstate),
+                  keep, jnp.where(reached, cur_delta, prev_delta),
+                  colorsum, rays)
+        return carry2, None
+
+    carry0 = (estart.o, estart.d, estart.throughput, estart.prev_pdf_sa,
+              estart.prev_cos, estart.prev_pt, mis.MisState.zeros(n),
+              jnp.ones((n,), bool), jnp.ones((n,), bool),
+              jnp.zeros((n, 3), jnp.float32), jnp.int32(0))
+    carry, _ = jax.lax.scan(body, carry0, jnp.arange(cfg.eye_depth))
+    colorsum, erays = carry[-2], carry[-1]
+
+    return colorsum + fb, lrays + rays_s + erays

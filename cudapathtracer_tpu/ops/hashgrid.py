@@ -1,0 +1,128 @@
+"""Photon hash grid: sort-based build + bounded neighborhood queries.
+
+TPU-native re-design of the reference's CUB-radix-sort hash grid
+(deviceCode.cu:3067-3198): photons are hashed by quantized cell
+(HashGridIndex primes, integratorUtilities.cuh:406-412), sorted with
+jax.lax-backed argsort (the XLA equivalent of DeviceRadixSort::SortPairs),
+and bucket boundaries become cell_start/cell_end tables built with
+scatter-min/max instead of the reference's boundary-detection kernel.
+
+Query-side difference (documented design choice): the reference scans a
+3x3x3 neighborhood of cells sized mergeRadius with unbounded per-cell
+loops; we use cells sized 2*mergeRadius and the 8-cell corner neighborhood
+(the classic trick — the r-ball around any point is covered by the 2x2x2
+block of 2r-cells it touches), with a STATIC per-cell photon cap so shapes
+stay fixed for XLA. The exact distance^2 test makes both candidate supersets
+equivalent up to cap truncation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cudapathtracer_tpu.utils.math import next_prime
+
+P1, P2, P3 = 73856093, 19349663, 83492791  # integratorUtilities.cuh:407-409
+
+# photon row layout [16]: pos(0:3), wi(3:6) — direction toward the photon's
+# previous vertex, normal(6:9), beta(9:12), d_vcm(12), d_vm(13), pad(14:16)
+PHOTON_ROW = 16
+
+
+class PhotonGrid(NamedTuple):
+    rows: jax.Array        # [P, 16] f32 sorted photon rows
+    cell_start: jax.Array  # [T+1] i32
+    cell_end: jax.Array    # [T+1] i32
+    scene_min: jax.Array   # [3]
+    cell_size: jax.Array   # scalar (= 2 * merge_radius)
+    table_size: int        # static
+
+
+def pack_photons(pos, wi, normal, beta, d_vcm, d_vm):
+    """Assemble photon rows [P, 16] from SoA components [P, ...]."""
+    p = pos.shape[0]
+    pad = jnp.zeros((p, 2), jnp.float32)
+    return jnp.concatenate(
+        [pos, wi, normal, beta, d_vcm[:, None], d_vm[:, None], pad], axis=1)
+
+
+def _cell_of(pos, scene_min, cell_size):
+    return jnp.floor((pos - scene_min) / cell_size).astype(jnp.int32)
+
+
+def _hash_cells(cell, table_size):
+    h = (cell[..., 0] * P1) ^ (cell[..., 1] * P2) ^ (cell[..., 2] * P3)
+    return jnp.mod(h.astype(jnp.uint32), jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def build_grid(rows, valid, scene_min, merge_radius, table_size: int
+               ) -> PhotonGrid:
+    """Sort photon rows by cell hash and record bucket boundaries.
+
+    rows: [P,16]; valid: [P] bool (invalid photons land in a sentinel bucket
+    that queries never touch). table_size: static, e.g.
+    next_prime(2 * max_photons) like the reference (deviceCode.cu:3290).
+    """
+    p = rows.shape[0]
+    cell_size = 2.0 * merge_radius
+    h = _hash_cells(_cell_of(rows[:, 0:3], scene_min, cell_size), table_size)
+    h = jnp.where(valid, h, table_size)  # sentinel bucket
+
+    order = jnp.argsort(h)
+    h_sorted = h[order]
+    rows_sorted = rows[order]
+
+    idx = jnp.arange(p, dtype=jnp.int32)
+    cell_start = jnp.full((table_size + 1,), p, jnp.int32)
+    cell_end = jnp.zeros((table_size + 1,), jnp.int32)
+    cell_start = cell_start.at[h_sorted].min(idx)
+    cell_end = cell_end.at[h_sorted].max(idx + 1)
+
+    return PhotonGrid(rows=rows_sorted, cell_start=cell_start,
+                      cell_end=cell_end, scene_min=scene_min,
+                      cell_size=cell_size, table_size=table_size)
+
+
+def gather_neighbors(grid: PhotonGrid, query_pos, merge_radius,
+                     max_per_cell: int, active=None):
+    """Yield (photon_row [N,16], in_range [N]) for every candidate slot.
+
+    Iterates the 8 corner-neighborhood cells x max_per_cell slots (static
+    python loops -> fixed shapes). in_range already includes the exact
+    distance^2 <= r^2 test. Intended use: the caller folds contributions
+    over the yielded slots.
+    """
+    n = query_pos.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    r2 = merge_radius * merge_radius
+    base = _cell_of(query_pos, grid.scene_min, grid.cell_size)
+    # corner selection: which half of its 2r-cell the point is in
+    frac = (query_pos - grid.scene_min) / grid.cell_size - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                off = jnp.stack([step[:, 0] * dx, step[:, 1] * dy,
+                                 step[:, 2] * dz], axis=-1)
+                h = _hash_cells(base + off, grid.table_size)
+                start = grid.cell_start[h]
+                end = grid.cell_end[h]
+                count = jnp.maximum(end - start, 0)
+                for k in range(max_per_cell):
+                    valid_slot = active & (k < count)
+                    i = jnp.where(valid_slot, start + k, 0)
+                    row = grid.rows[i]
+                    diff = query_pos - row[:, 0:3]
+                    d2 = jnp.sum(diff * diff, axis=-1)
+                    in_range = valid_slot & (d2 <= r2)
+                    yield row, in_range
+
+
+def photon_table_size(max_photons: int) -> int:
+    """nextPrime(2 * maxPhotons), the reference's sizing (deviceCode.cu:3290)."""
+    return next_prime(2 * max_photons)
