@@ -36,6 +36,60 @@ LEAF_MAT_FLAG = 1 << 30
 # Node-steps executed per while_loop iteration.
 STEPS_PER_ITER = 4
 
+# Straggler compaction: traversal is lockstep, so the WORST lane's thread
+# length bounds everyone's iteration count while most lanes idle (masked
+# gathers still cost full bandwidth). Phase 1 runs full-width until the
+# active count drops below n/COMPACT_FRAC (or the iteration cap); phase 2
+# gathers the stragglers into an n/COMPACT_FRAC-wide state and finishes them
+# at 1/COMPACT_FRAC of the per-step cost, then scatters results back.
+COMPACT_FRAC = 8
+PHASE1_CAP_ITERS = 24
+
+
+def _compacted_while(step, init, n):
+    """Run `step` (state tuple of [N]-leading arrays; state[0] = cursor,
+    -1 = done) to completion using the two-phase straggler compaction."""
+    if n < COMPACT_FRAC * 16:
+        def cond(s):
+            return jnp.any(s[0] >= 0)
+
+        def body(s):
+            for _ in range(STEPS_PER_ITER):
+                s = step(*s)
+            return s
+        return jax.lax.while_loop(cond, body, init)
+
+    n_sub = n // COMPACT_FRAC
+
+    def cond1(st):
+        it, s = st[0], st[1]
+        active = jnp.sum((s[0] >= 0).astype(jnp.int32))
+        return (active > 0) & ((it < PHASE1_CAP_ITERS) | (active > n_sub))
+
+    def body1(st):
+        it, s = st
+        for _ in range(STEPS_PER_ITER):
+            s = step(*s)
+        return it + 1, s
+
+    _, s = jax.lax.while_loop(cond1, body1, (jnp.int32(0), init))
+
+    # compact stragglers (duplicate fill slots recompute lane idx[0] and
+    # scatter identical values — harmless)
+    idx = jnp.nonzero(s[0] >= 0, size=n_sub, fill_value=0)[0]
+    sub = tuple(a[idx] for a in s)
+
+    def cond2(ss):
+        return jnp.any(ss[0] >= 0)
+
+    def body2(ss):
+        for _ in range(STEPS_PER_ITER):
+            ss = step(*ss)
+        return ss
+
+    sub = jax.lax.while_loop(cond2, body2, sub)
+    return tuple(a.at[idx].set(b) for a, b in zip(s, sub))
+
 
 class Hit(NamedTuple):
     """Closest-hit record (pre-shading): all [N]."""
@@ -61,11 +115,11 @@ def _i32(col):
 
 
 def _oct_select(cols8, oct8):
-    """Select column oct8[n] from [N,8] without a gather (8 vector selects)."""
-    out = cols8[:, 0]
-    for k in range(1, 8):
-        out = jnp.where(oct8 == k, cols8[:, k], out)
-    return out
+    """Select column oct8[n] from [N,8] without a gather: one-hot reduce
+    (keeps everything as wide [N,8] VPU ops — single-column extraction from a
+    gathered array is pathologically slow on XLA:TPU, measured ~10x)."""
+    onehot = (jnp.arange(8, dtype=jnp.int32)[None, :] == oct8[:, None])
+    return jnp.sum(jnp.where(onehot, cols8, 0), axis=1)
 
 
 def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
@@ -89,30 +143,32 @@ def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     if active is not None:
         cur0 = jnp.where(active, cur0, -1)
 
-    def cond(s):
-        return jnp.any(s[0] >= 0)
-
-    def step(cur, t_best, tri, u, v):
+    def step(cur, t_best, tri, u, v, o, d, inv_d, oct8, skip_tri):
         live = cur >= 0
         curc = jnp.maximum(cur, 0)
 
-        row = scene.node_packed[curc]                   # [N, W] — THE gather
-        tmin, tmax, hit = aabb_intersect(o, inv_d, row[:, 0:3], row[:, 3:6])
+        # ONE gather, consumed via a handful of WIDE slices + reshapes —
+        # XLA:TPU re-materializes the gather per distinct narrow slice
+        # (measured ~3x blowup with per-column slicing), so keep slices wide.
+        row = scene.node_packed[curc]                   # [N, W]
+        bounds = row[:, 0:6].reshape(-1, 2, 3)
+        tmin, tmax, hit = aabb_intersect(o, inv_d, bounds[:, 0], bounds[:, 1])
         hit = hit & (tmin < t_best) & live
 
+        links = _i32(row[:, 6:22]).reshape(-1, 2, 8)
+        hit_link = _oct_select(links[:, 0], oct8)
+        miss_link = _oct_select(links[:, 1], oct8)
         count = _i32(row[:, 22])
         is_leaf = count > 0
-        hit_link = _oct_select(_i32(row[:, 6:14]), oct8)
-        miss_link = _oct_select(_i32(row[:, 14:22]), oct8)
+
+        tris = row[:, 24:24 + 9 * leaf_k].reshape(-1, leaf_k, 3, 3)
+        ids = _i32(row[:, 24 + 9 * leaf_k: 24 + 10 * leaf_k])
 
         do_leaf = hit & is_leaf
-        idc = 24 + 9 * leaf_k
         for k in range(leaf_k):
-            base = 24 + 9 * k
-            tt, uu, vv, ok = moller_trumbore(
-                o, d, row[:, base:base + 3], row[:, base + 3:base + 6],
-                row[:, base + 6:base + 9])
-            tid = _i32(row[:, idc + k])
+            tt, uu, vv, ok = moller_trumbore(o, d, tris[:, k, 0],
+                                             tris[:, k, 1], tris[:, k, 2])
+            tid = ids[:, k]
             tid = jnp.where(tid < 0, -1, tid & ~LEAF_MAT_FLAG)
             ok = ok & do_leaf & (tid >= 0) & (tt < t_best) & (tid != skip_tri)
             t_best = jnp.where(ok, tt, t_best)
@@ -122,17 +178,13 @@ def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
 
         nxt = jnp.where(hit & ~is_leaf, hit_link, miss_link)
         cur = jnp.where(live, nxt, -1)
-        return cur, t_best, tri, u, v
-
-    def body(s):
-        for _ in range(STEPS_PER_ITER):
-            s = step(*s)
-        return s
+        return cur, t_best, tri, u, v, o, d, inv_d, oct8, skip_tri
 
     init = (cur0, max_t, jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
-    _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
-    return Hit(t=t, tri=tri, u=u, v=v)
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            o, d, inv_d, oct8, skip_tri)
+    out = _compacted_while(step, init, n)
+    return Hit(t=out[1], tri=out[2], u=out[3], v=out[4])
 
 
 def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
@@ -158,31 +210,31 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
     if active is not None:
         cur0 = jnp.where(active, cur0, -1)
 
-    def cond(s):
-        return jnp.any(s[0] >= 0)
-
-    def step(cur, scale):
+    def step(cur, scale, o, d, inv_d, oct8, max_t, skip_tri):
         live = cur >= 0
         curc = jnp.maximum(cur, 0)
+        n = cur.shape[0]
 
         row = scene.node_packed[curc]
-        tmin, tmax, hit = aabb_intersect(o, inv_d, row[:, 0:3], row[:, 3:6])
+        bounds = row[:, 0:6].reshape(-1, 2, 3)
+        tmin, tmax, hit = aabb_intersect(o, inv_d, bounds[:, 0], bounds[:, 1])
         hit = hit & (tmin < max_t) & live
 
+        links = _i32(row[:, 6:22]).reshape(-1, 2, 8)
+        hit_link = _oct_select(links[:, 0], oct8)
+        miss_link = _oct_select(links[:, 1], oct8)
         count = _i32(row[:, 22])
         is_leaf = count > 0
-        hit_link = _oct_select(_i32(row[:, 6:14]), oct8)
-        miss_link = _oct_select(_i32(row[:, 14:22]), oct8)
+
+        tris = row[:, 24:24 + 9 * leaf_k].reshape(-1, leaf_k, 3, 3)
+        ids = _i32(row[:, 24 + 9 * leaf_k: 24 + 10 * leaf_k])
 
         do_leaf = hit & is_leaf
         blocked = jnp.zeros((n,), bool)
-        idc = 24 + 9 * leaf_k
         for k in range(leaf_k):
-            base = 24 + 9 * k
-            tt, uu, vv, ok = moller_trumbore(
-                o, d, row[:, base:base + 3], row[:, base + 3:base + 6],
-                row[:, base + 6:base + 9])
-            raw = _i32(row[:, idc + k])
+            tt, uu, vv, ok = moller_trumbore(o, d, tris[:, k, 0],
+                                             tris[:, k, 1], tris[:, k, 2])
+            raw = ids[:, k]
             tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)
             ok = ok & do_leaf & ~blocked & (tid >= 0) & (tt < max_t) \
                 & (tid != skip_tri)
@@ -190,15 +242,16 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
             if with_leaf:
                 is_leaf_mat = (raw >= 0) & ((raw & LEAF_MAT_FLAG) != 0)
                 srow = scene.tri_shadow[jnp.maximum(tid, 0)]  # [N,16]
-                w0 = 1.0 - uu - vv
-                nrm = normalize(srow[:, 0:3] * w0[:, None]
-                                + srow[:, 3:6] * uu[:, None]
-                                + srow[:, 6:9] * vv[:, None])
-                cos_t = jnp.abs(dot(d, nrm))
+                n3 = srow[:, 0:9].reshape(-1, 3, 3)
+                mat4 = srow[:, 9:13].reshape(-1, 4)  # albedo, transmission
                 ior = srow[:, 13]
+                w0 = 1.0 - uu - vv
+                nrm = normalize(n3[:, 0] * w0[:, None] + n3[:, 1] * uu[:, None]
+                                + n3[:, 2] * vv[:, None])
+                cos_t = jnp.abs(dot(d, nrm))
                 r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
                 fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-                leaf_scale = (srow[:, 9:12] * srow[:, 12:13]
+                leaf_scale = (mat4[:, 0:3] * mat4[:, 3:4]
                               * (1.0 - fres)[:, None])
                 pass_leaf = ok & is_leaf_mat
                 scale = jnp.where(pass_leaf[:, None], scale * leaf_scale,
@@ -213,16 +266,12 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
         nxt = jnp.where(hit & ~is_leaf, hit_link, miss_link)
         nxt = jnp.where(blocked, -1, nxt)
         cur = jnp.where(live, nxt, -1)
-        return cur, scale
+        return cur, scale, o, d, inv_d, oct8, max_t, skip_tri
 
-    def body(s):
-        for _ in range(STEPS_PER_ITER):
-            s = step(*s)
-        return s
-
-    init = (cur0, jnp.ones((n, 3), jnp.float32))
-    _, scale = jax.lax.while_loop(cond, body, init)
-    return scale
+    init = (cur0, jnp.ones((n, 3), jnp.float32), o, d, inv_d, oct8, max_t,
+            skip_tri)
+    out = _compacted_while(step, init, n)
+    return out[1]
 
 
 def interpolate_hit(scene, o, d, hit: Hit):
