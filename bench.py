@@ -26,9 +26,11 @@ TARGET_MRAYS = 100.0  # self-imposed round-over-round target (no published ref)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
-                    help="512x512 quick mode (CI/CPU)")
+                    help="256x256 quick mode (CI/CPU)")
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--chunks", type=int, default=4,
+                    help="split the wavefront into pixel chunks (memory cap)")
     args = ap.parse_args()
 
     from cudapathtracer_tpu.models import unidirectional
@@ -39,7 +41,7 @@ def main():
     from cudapathtracer_tpu.utils import rng
 
     if args.small:
-        w, h, subdiv = 512, 512, 4
+        w, h, subdiv = 256, 256, 4
     else:
         w, h, subdiv = 1920, 1080, 6  # ~82k tris, BASELINE configs 3
 
@@ -51,27 +53,33 @@ def main():
     cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
     px, py = px.ravel(), py.ravel()
+    nchunks = max(args.chunks, 1) if not args.small else 1
+    csz = px.shape[0] // nchunks
+    pxc = [px[i * csz:(i + 1) * csz] for i in range(nchunks)]
+    pyc = [py[i * csz:(i + 1) * csz] for i in range(nchunks)]
     key = rng.base_key()
 
-    def step(s):
-        return unidirectional.render_sample(scene, cam, key, s, px, py,
-                                            max_depth=8)
+    def step(s, c):
+        return unidirectional.render_sample(scene, cam, key, s, pxc[c],
+                                            pyc[c], max_depth=8)
 
-    # warmup/compile
-    li, rays = step(0)
-    li.block_until_ready()
+    # warmup/compile; the device fetch forces real completion (the axon
+    # tunnel's block_until_ready does not synchronize execution)
+    li, rays = step(0, 0)
+    _ = float(li.sum())
 
-    acc = jnp.zeros_like(li)
-    total_rays = 0
+    accs = [jnp.zeros((csz, 3), jnp.float32) for _ in range(nchunks)]
+    rtot = jnp.zeros((), jnp.int32)
     t0 = time.perf_counter()
     for s in range(args.warmup, args.warmup + args.spp):
-        li, rays = step(s)
-        acc = acc + li
-        total_rays += int(rays)
-    acc.block_until_ready()
+        for c in range(nchunks):
+            li, rays = step(s, c)
+            accs[c] = accs[c] + li
+            rtot = rtot + rays   # stays on device — no per-sample sync
+    img = np.concatenate([np.asarray(a) for a in accs])  # the real barrier
     dt = time.perf_counter() - t0
+    total_rays = int(rtot)
 
-    img = np.asarray(acc)
     assert np.isfinite(img).all(), "NaN/Inf in benchmark render"
 
     mrays = total_rays / dt / 1e6

@@ -40,9 +40,11 @@ BUILTIN_SCENES = {
 }
 
 
-def mesh_from_config(cfg: RenderConfig) -> MeshData:
+def mesh_from_config(cfg: RenderConfig, render_number: int = 0) -> MeshData:
     """Assemble the scene triangle soup from the config's mesh list.
-    Paths may be OBJ files or builtin:<name> procedural scenes."""
+    Paths may be OBJ files or builtin:<name> procedural scenes. Emissive
+    meshes get the reference's per-render animation offset of
+    (0, -0.01 * renderNumber, 0) (main.cu:478, 925-933)."""
     mesh = MeshData()
     for mc in cfg.meshes:
         if mc.path in BUILTIN_SCENES:
@@ -64,7 +66,11 @@ def mesh_from_config(cfg: RenderConfig) -> MeshData:
             mesh.emission = np.concatenate([mesh.emission, sub.emission])
             mesh.light_ind = np.concatenate([mesh.light_ind, sub_light])
         else:
-            load_obj(mc.path, mesh, mc.material_id, mc.emission)
+            emissive = sum(e * e for e in mc.emission) > 0.0
+            offset = ((0.0, -0.01 * render_number, 0.0) if emissive
+                      else (0.0, 0.0, 0.0))
+            load_obj(mc.path, mesh, mc.material_id, mc.emission,
+                     offset=offset)
     return mesh
 
 
@@ -83,7 +89,13 @@ class Renderer:
             else:
                 mesh = mesh_from_config(cfg)
         if materials is None:
-            materials = builtin_materials()
+            # the reference's 24-material registry with its 4-texture atlas
+            # (placeholders for textures missing from the reference repo)
+            from cudapathtracer_tpu.scene.textures import reference_atlas
+            atlas, wins = reference_atlas()
+            materials = builtin_materials(wins)
+            if textures is None:
+                textures = atlas
 
         with self.metrics.phase("scene_build"):
             self.mesh = mesh
@@ -151,26 +163,25 @@ class Renderer:
                 print(f"resumed at sample {self.sample_count}")
 
         last_save = time.monotonic()
+        rtot = jnp.zeros((), jnp.int32)  # device-side; fetched only on saves
         with self.metrics.phase("render"):
             while self.sample_count < total:
                 li, rays = step(self.sample_count)
                 self.accum = self.accum + li
+                rtot = rtot + rays
                 self.sample_count += 1
                 self.metrics.samples_done += 1
 
                 now = time.monotonic()
                 if (progressive
                         and now - last_save >= cfg.save_interval_seconds):
-                    self.accum.block_until_ready()
-                    self.metrics.add_rays(int(rays))
                     self.save_progressive()
                     if checkpoint_path:
                         self.save_checkpoint(checkpoint_path)
                     last_save = time.monotonic()
                     if verbose:
                         print(f"saved progress at {self.sample_count} samples")
-                else:
-                    self.metrics.add_rays(int(rays))
+            self.metrics.add_rays(int(rtot))
         return self.finish()
 
     # ------------------------------------------------------------------

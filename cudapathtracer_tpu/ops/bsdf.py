@@ -273,38 +273,50 @@ def resolve_albedo(scene, mat, uv):
     return jnp.where(has, tex, mat.albedo)
 
 
+def resolve_transmission(scene, mat, uv):
+    """Transmission with transmission-map override (reflectors.cuh:573-578,
+    654-659: hasTransMap -> sampleTexture, red channel)."""
+    tex = sample_texture(scene.textures, mat.trans_tex_start,
+                         mat.trans_tex_width, mat.trans_tex_height, uv)
+    return jnp.where(mat.trans_tex_start >= 0, tex[..., 0], mat.transmission)
+
+
 # ---------------------------------------------------------------------------
 # Dispatch (reflectors.cuh:547-666) — compute-all-lobes-and-select
 # ---------------------------------------------------------------------------
 
 
-def bsdf_f(mat, albedo, wi, wo, eta_i):
-    """Evaluate f for all lanes. mat: gathered MaterialTable rows [N]."""
+def bsdf_f(mat, albedo, wi, wo, eta_i, transmission=None):
+    """Evaluate f for all lanes. mat: gathered MaterialTable rows [N].
+    transmission: texture-resolved override (resolve_transmission); defaults
+    to the material constant."""
     t = mat.type
+    trans = mat.transmission if transmission is None else transmission
     f = jnp.where((t == MAT_DIFFUSE)[..., None], cosine_f(albedo), 0.0)
     f = jnp.where((t == MAT_METAL)[..., None],
                   metal_f(mat.eta, mat.k, mat.roughness, wi, wo), f)
     f = jnp.where((t == MAT_LEAF)[..., None],
                   leaf_f(albedo, mat.ior, eta_i, mat.roughness,
-                         mat.transmission, wi, wo), f)
+                         trans, wi, wo), f)
     f = jnp.where((t == MAT_DELTAMIRROR)[..., None], mirror_f(wo)[..., None], f)
     # smooth dielectric: delta lobe, f=0 for arbitrary directions
     return f
 
 
-def bsdf_pdf(mat, wi, wo, eta_i):
+def bsdf_pdf(mat, wi, wo, eta_i, transmission=None):
     t = mat.type
+    trans = mat.transmission if transmission is None else transmission
     pdf = jnp.where(t == MAT_DIFFUSE, cosine_pdf(wo), 0.0)
     pdf = jnp.where(t == MAT_METAL, metal_pdf(mat.roughness, wi, wo), pdf)
     pdf = jnp.where(t == MAT_LEAF,
-                    leaf_pdf(mat.ior, eta_i, mat.roughness, mat.transmission,
+                    leaf_pdf(mat.ior, eta_i, mat.roughness, trans,
                              wi, wo), pdf)
     pdf = jnp.where(t == MAT_DELTAMIRROR, 1.0, pdf)
     return pdf
 
 
 def bsdf_sample(key, draw_base, mat, albedo, wi, backface, eta_i,
-                transport_mode=TRANSPORT_RADIANCE):
+                transport_mode=TRANSPORT_RADIANCE, transmission=None):
     """Sample wo for all lanes; returns (wo, f [N,3], pdf [N]).
 
     key/draw_base: rng stream position; consumes draws base..base+3.
@@ -315,6 +327,7 @@ def bsdf_sample(key, draw_base, mat, albedo, wi, backface, eta_i,
     u1 = rng.uniform(key, draw_base + 2, (n,))
     u2 = rng.uniform(key, draw_base + 3, (n,))
     t = mat.type
+    trans = mat.transmission if transmission is None else transmission
 
     # diffuse
     wo_d = cosine_sample(u1, u2)
@@ -335,7 +348,7 @@ def bsdf_sample(key, draw_base, mat, albedo, wi, backface, eta_i,
 
     # leaf
     wo_l, f_l, pdf_l = leaf_sample(u_sel, u_t, u1, u2, wi, mat.ior, eta_i,
-                                   mat.roughness, albedo, mat.transmission)
+                                   mat.roughness, albedo, trans)
 
     # mirror
     wo_mi = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)

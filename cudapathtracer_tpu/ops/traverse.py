@@ -38,18 +38,19 @@ STEPS_PER_ITER = 4
 
 # Straggler compaction: traversal is lockstep, so the WORST lane's thread
 # length bounds everyone's iteration count while most lanes idle (masked
-# gathers still cost full bandwidth). Phase 1 runs full-width until the
-# active count drops below n/COMPACT_FRAC (or the iteration cap); phase 2
-# gathers the stragglers into an n/COMPACT_FRAC-wide state and finishes them
-# at 1/COMPACT_FRAC of the per-step cost, then scatters results back.
+# gathers still cost full bandwidth, which is the dominant per-step cost).
+# Each level runs at full width only while the active count exceeds
+# n/COMPACT_FRAC, then gathers survivors into an n/COMPACT_FRAC-wide state
+# and recurses — so a wavefront that is already sparse (e.g. late Russian-
+# roulette bounces) drops to a narrow width immediately.
 COMPACT_FRAC = 8
-PHASE1_CAP_ITERS = 24
+MIN_COMPACT_WIDTH = 8192
 
 
 def _compacted_while(step, init, n):
     """Run `step` (state tuple of [N]-leading arrays; state[0] = cursor,
-    -1 = done) to completion using the two-phase straggler compaction."""
-    if n < COMPACT_FRAC * 16:
+    -1 = done) to completion using recursive straggler compaction."""
+    if n <= MIN_COMPACT_WIDTH:
         def cond(s):
             return jnp.any(s[0] >= 0)
 
@@ -61,33 +62,21 @@ def _compacted_while(step, init, n):
 
     n_sub = n // COMPACT_FRAC
 
-    def cond1(st):
-        it, s = st[0], st[1]
-        active = jnp.sum((s[0] >= 0).astype(jnp.int32))
-        return (active > 0) & ((it < PHASE1_CAP_ITERS) | (active > n_sub))
+    def cond1(s):
+        return jnp.sum((s[0] >= 0).astype(jnp.int32)) > n_sub
 
-    def body1(st):
-        it, s = st
+    def body1(s):
         for _ in range(STEPS_PER_ITER):
             s = step(*s)
-        return it + 1, s
+        return s
 
-    _, s = jax.lax.while_loop(cond1, body1, (jnp.int32(0), init))
+    s = jax.lax.while_loop(cond1, body1, init)
 
     # compact stragglers (duplicate fill slots recompute lane idx[0] and
     # scatter identical values — harmless)
     idx = jnp.nonzero(s[0] >= 0, size=n_sub, fill_value=0)[0]
     sub = tuple(a[idx] for a in s)
-
-    def cond2(ss):
-        return jnp.any(ss[0] >= 0)
-
-    def body2(ss):
-        for _ in range(STEPS_PER_ITER):
-            ss = step(*ss)
-        return ss
-
-    sub = jax.lax.while_loop(cond2, body2, sub)
+    sub = _compacted_while(step, sub, n_sub)
     return tuple(a.at[idx].set(b) for a, b in zip(s, sub))
 
 

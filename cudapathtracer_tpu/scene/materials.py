@@ -119,6 +119,9 @@ class MaterialTable:
     tex_start: jax.Array
     tex_width: jax.Array
     tex_height: jax.Array
+    trans_tex_start: jax.Array
+    trans_tex_width: jax.Array
+    trans_tex_height: jax.Array
 
     @property
     def count(self) -> int:
@@ -157,6 +160,9 @@ def build_table(mats: list[Material]) -> MaterialTable:
         tex_start=col("tex_start", np.int32),
         tex_width=col("tex_width", np.int32),
         tex_height=col("tex_height", np.int32),
+        trans_tex_start=col("trans_tex_start", np.int32),
+        trans_tex_width=col("trans_tex_width", np.int32),
+        trans_tex_height=col("trans_tex_height", np.int32),
     )
 
 

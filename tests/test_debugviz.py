@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cudapathtracer_tpu.models import paths
+from cudapathtracer_tpu.scene import builtin
+from cudapathtracer_tpu.scene.camera import Camera
+from cudapathtracer_tpu.scene.materials import builtin_materials
+from cudapathtracer_tpu.scene.scene import build_scene
+from cudapathtracer_tpu.utils import debugviz, rng
+
+
+def make_cam():
+    return Camera.pinhole((0.0, 0.0, 1.0), 32, 32, 0.0, 0.0, 0.0, 60.0)
+
+
+def test_draw_line_and_composite():
+    cam = make_cam()
+    ov = debugviz.make_overlay(32, 32)
+    debugviz.draw_line(ov, cam, (-0.4, 0.0, 0.0), (0.4, 0.0, 0.0),
+                       (1.0, 0.0, 0.0))
+    assert (ov[..., 0] > 0).sum() > 5
+    img = np.full((32, 32, 3), 0.5, np.float32)
+    out = debugviz.composite_overlay(img, ov)
+    mask = (ov != 0).any(-1)
+    assert (out[mask][:, 0] == 1.0).all()
+    assert (out[~mask] == 0.5).all()
+
+
+def test_grid_box_and_photon_heatmap():
+    cam = make_cam()
+    ov = debugviz.make_overlay(32, 32)
+    debugviz.paint_grid_box(ov, cam, (-0.3, -0.3, -0.3), (0.3, 0.3, 0.3))
+    assert (ov != 0).any()
+    ov2 = debugviz.make_overlay(32, 32)
+    pts = np.random.RandomState(0).uniform(-0.4, 0.4, (500, 3))
+    debugviz.paint_photons(ov2, cam, pts)
+    assert ov2[..., 0].max() > 0.05  # density accumulates
+
+
+def test_debug_print_path(capsys):
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    cam = make_cam()
+    px, py = jnp.meshgrid(jnp.arange(4), jnp.arange(4))
+    bufs, v0, _ = paths.generate_eye_path(scene, cam, rng.base_key(),
+                                          px.ravel(), py.ravel(), 4)
+    out = debugviz.debug_print_path(bufs, lane=5)
+    assert "pt=" in out and "beta=" in out
