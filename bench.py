@@ -33,6 +33,9 @@ def main():
                     help="split the wavefront into pixel chunks (memory cap)")
     args = ap.parse_args()
 
+    # pay the remote-tunnel first-transfer initialization outside the timers
+    _ = float(jnp.zeros((8,)).sum())
+
     from cudapathtracer_tpu.models import unidirectional
     from cudapathtracer_tpu.scene import builtin
     from cudapathtracer_tpu.scene.camera import Camera

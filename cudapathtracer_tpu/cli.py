@@ -50,14 +50,18 @@ def main(argv=None) -> int:
         print(f'Began render number {rn}: "{cfg.name}"')
         mesh = mesh_from_config(cfg.normalized(), rn)
         r = Renderer(cfg, mesh=mesh)
-        print(f"  {mesh.num_triangles} triangles, {mesh.num_lights} lights, "
-              f"{r.scene.num_nodes} BVH nodes")
+        from cudapathtracer_tpu.scene.bvh import bvh_stats
+        st = bvh_stats(r.bvh)
+        print(f"  {mesh.num_triangles} triangles, {mesh.num_lights} lights; "
+              f"BVH: {st['num_nodes']} nodes, {st['num_leaves']} leaves, "
+              f"depth mean {st['depth_mean']:.1f} / max {st['depth_max']}")
         r.render(num_samples=args.samples,
                  checkpoint_path=args.checkpoint,
                  progressive=not args.no_progressive)
         img = r.save_final(rn)
         print(f"  saved {cfg.output_dir}/{cfg.name}{rn}.bmp")
         print(r.metrics.summary())
+        print(f"  {r.checks.summary()}")
     return 0
 
 

@@ -27,6 +27,7 @@ from cudapathtracer_tpu.scene.camera import Camera
 from cudapathtracer_tpu.scene.materials import builtin_materials
 from cudapathtracer_tpu.scene.scene import build_scene
 from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils.checks import CheckLog
 from cudapathtracer_tpu.utils.config import RenderConfig
 from cudapathtracer_tpu.utils.image import Image, scrub
 from cudapathtracer_tpu.utils.metrics import RenderMetrics
@@ -81,6 +82,7 @@ class Renderer:
                  materials=None, textures=None):
         self.cfg = config.normalized()
         self.metrics = RenderMetrics()
+        self.checks = CheckLog()
         cfg = self.cfg
 
         if mesh is None:
@@ -175,6 +177,7 @@ class Renderer:
                 now = time.monotonic()
                 if (progressive
                         and now - last_save >= cfg.save_interval_seconds):
+                    self.checks.check(f"sample {self.sample_count}", li)
                     self.save_progressive()
                     if checkpoint_path:
                         self.save_checkpoint(checkpoint_path)

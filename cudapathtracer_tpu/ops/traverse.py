@@ -33,8 +33,12 @@ from cudapathtracer_tpu.utils.math import dot, normalize
 
 LEAF_MAT_FLAG = 1 << 30
 
-# Node-steps executed per while_loop iteration.
-STEPS_PER_ITER = 4
+# Node-steps executed per while_loop iteration. Amortizes the loop's fixed
+# per-iteration cost on TPU; CPU XLA's compile time explodes with the
+# unrolled body, so tests dial it down via the environment.
+import os as _os
+
+STEPS_PER_ITER = int(_os.environ.get("TPT_STEPS_PER_ITER", "4"))
 
 # Straggler compaction: traversal is lockstep, so the WORST lane's thread
 # length bounds everyone's iteration count while most lanes idle (masked
@@ -116,7 +120,13 @@ def closest_hit(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
 
     o, d: [N,3] (d normalized). max_t: scalar or [N]. skip_tri: [N] i32 or
     None (self-intersection exclusion). active: [N] bool lanes to trace.
+
+    Dispatches on the scene's static `traversal` field: "bvh8" (default,
+    ops/traverse8.py) or "threaded" (the binary engine below).
     """
+    if getattr(scene, "traversal", "threaded") == "bvh8":
+        from cudapathtracer_tpu.ops import traverse8
+        return traverse8.closest_hit8(scene, o, d, max_t, skip_tri, active)
     n = o.shape[0]
     if max_t is None:
         max_t = jnp.full((n,), BIG_T, jnp.float32)
@@ -186,6 +196,9 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
     scene has no MAT_LEAF materials (static property), the transmission
     machinery compiles away entirely and occlusion is a pure boolean walk.
     """
+    if getattr(scene, "traversal", "threaded") == "bvh8":
+        from cudapathtracer_tpu.ops import traverse8
+        return traverse8.shadow_factor8(scene, o, d, max_t, skip_tri, active)
     n = o.shape[0]
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
     if skip_tri is None:

@@ -13,6 +13,12 @@ the JAX way: a 2-D `jax.sharding.Mesh` with axes
 Per-chip Threefry streams are derived by folding both mesh coordinates into
 the render key, so every chip draws an independent, reproducible stream
 (deterministic for a fixed mesh shape).
+
+Scope note: pixel-local integrators (naive, unidirectional) shard exactly.
+The splat-based strategies (BDPT/VCM light tracing) scatter into GLOBAL
+pixel indices, so under tile sharding their splats would need a full-image
+scatter + psum over the tile axis — planned; until then run those
+integrators single-chip or with spp-only sharding (n_tile=1).
 """
 
 from __future__ import annotations

@@ -55,6 +55,9 @@ class Scene:
     # [0:9] vertex normals a,b,c; [9:12] albedo; [12] transmission; [13] ior
     tri_shadow: jax.Array   # [T, 16] f32 (dummy [1,16] when no leaf materials)
 
+    # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
+    bvh8_table: jax.Array   # [R, 64] f32
+
     # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling) ---
     light_p0: jax.Array     # [L, 3]
     light_p1: jax.Array     # [L, 3]
@@ -75,6 +78,7 @@ class Scene:
     num_lights: int = field(metadata=dict(static=True), default=0)
     max_leaf_size: int = field(metadata=dict(static=True), default=2)
     has_leaf_materials: bool = field(metadata=dict(static=True), default=False)
+    traversal: str = field(metadata=dict(static=True), default="bvh8")
 
     @property
     def num_triangles(self) -> int:
@@ -100,7 +104,8 @@ class Scene:
 
 def build_scene(mesh: MeshData, materials: list | MaterialTable,
                 textures: np.ndarray | None = None, max_leaf_size: int = 2,
-                use_native_bvh: bool = True) -> tuple[Scene, bvh_mod.BVH]:
+                use_native_bvh: bool = True,
+                traversal: str = "bvh8") -> tuple[Scene, bvh_mod.BVH]:
     """Build the BVH and upload everything as a Scene pytree.
 
     Returns (scene, host_bvh) — the host BVH is kept for stats/tests.
@@ -166,6 +171,9 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
     node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
 
+    from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
+    bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat)
+
     if tri_is_leaf_mat.any():
         t = tri_pack.shape[0]
         tri_shadow = np.zeros((t, 16), np.float32)
@@ -190,6 +198,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         node_links=jnp.asarray(bvh.links.reshape(-1, 2)),
         node_packed=jnp.asarray(node_packed),
         tri_shadow=jnp.asarray(tri_shadow),
+        bvh8_table=jnp.asarray(bvh8.table),
         light_p0=jnp.asarray(light_p0),
         light_p1=jnp.asarray(light_p1),
         light_p2=jnp.asarray(light_p2),
@@ -203,6 +212,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         num_lights=num_lights,
         max_leaf_size=int(bvh.leaf[:, 1].max()),
         has_leaf_materials=bool(tri_is_leaf_mat.any()),
+        traversal=traversal,
     )
     return scene, bvh
 

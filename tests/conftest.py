@@ -10,7 +10,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# CPU XLA compile time explodes with the unrolled traversal body; one step
+# per while iteration keeps the suite fast (TPU default is 4)
+os.environ.setdefault("TPT_STEPS_PER_ITER", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# pytest plugins (xdist/anyio/...) import jax before this conftest runs, and
+# jax snapshots JAX_PLATFORMS into its config at import — override it too
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover
+    pass
