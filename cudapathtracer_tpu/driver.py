@@ -99,6 +99,9 @@ class Renderer:
             if textures is None:
                 textures = atlas
 
+        # pay the device/tunnel first-transfer init outside the build timers
+        jnp.zeros((8,), jnp.float32).block_until_ready()
+
         with self.metrics.phase("scene_build"):
             self.mesh = mesh
         with self.metrics.phase("bvh_build"):

@@ -86,3 +86,38 @@ def test_naive_vs_nee_mis_agree():
     assert abs(a.mean() - b.mean()) / b.mean() < 0.1
     rel_rmse = np.sqrt(np.mean((a - b) ** 2)) / b.mean()
     assert rel_rmse < 0.8
+
+
+def test_nested_dielectrics_medium_stack():
+    """Priority nested media (deviceCode.cu:306-432): a glass sphere
+    (priority 1) inside an absorbing water sphere (priority 2). Rays must
+    resolve false hits through the lower-priority boundary, apply
+    Beer-Lambert absorption of the dominant medium, and stay finite."""
+    from cudapathtracer_tpu.scene.builtin import icosphere
+    from cudapathtracer_tpu.scene.materials import Material
+    from cudapathtracer_tpu.utils.obj import MeshData
+
+    mesh = builtin.cornell_box(light_emission=(6.0, 6.0, 6.0))
+    vw, fw = icosphere(3, 0.30, (0.0, -0.15, 0.0))
+    nw = vw - np.asarray([0.0, -0.15, 0.0], np.float32)
+    nw /= np.linalg.norm(nw, axis=1, keepdims=True)
+    mesh.add(vw, fw, 10, normals=nw, nrm_idx=fw)   # water (priority 2)
+    vg, fg = icosphere(3, 0.15, (0.0, -0.15, 0.0))
+    ng = vg - np.asarray([0.0, -0.15, 0.0], np.float32)
+    ng /= np.linalg.norm(ng, axis=1, keepdims=True)
+    mesh.add(vg, fg, 5, normals=ng, nrm_idx=fg)    # glass (priority 1)
+
+    mats = builtin_materials()
+    # give water visible absorption so the Beer path is exercised
+    import dataclasses
+    mats[10] = dataclasses.replace(mats[10], absorption=(0.5, 0.1, 0.1))
+    scene, _ = build_scene(mesh, mats)
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 12, 12, 0.0, 0.0, 0.0, 60.0)
+    img = render(unidirectional.render_sample, scene, cam, spp=6,
+                 max_depth=12)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    assert img.mean() > 0.01
+    # absorption is colored: red channel should be dimmer than green in the
+    # sphere region (absorption (0.5,0.1,0.1) kills red)
+    center = img.reshape(12, 12, 3)[5:8, 4:8]
+    assert center[..., 0].mean() < center[..., 1].mean()

@@ -73,3 +73,20 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spp_sharded_bdpt(setup):
+    """Splat-based integrators shard correctly over the spp axis (each chip
+    renders the full image; radiance psum over ICI)."""
+    from functools import partial
+
+    from cudapathtracer_tpu.models import bdpt
+    scene, cam = setup
+    cfg = bdpt.BDPTConfig(eye_depth=4, light_depth=3)
+    fn = partial(bdpt.render_sample, cfg=cfg)
+    mesh = sharding.make_mesh(n_tile=1, n_spp=8)
+    acc, done, rays = sharding.render_sharded(fn, mesh, scene, cam, 16, 16, 8)
+    assert done == 8 and rays > 0
+    assert np.isfinite(acc).all()
+    assert acc.mean() > 0
