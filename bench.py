@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="256x256 quick mode (CI/CPU)")
-    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--chunks", type=int, default=4,
                     help="split the wavefront into pixel chunks (memory cap)")
