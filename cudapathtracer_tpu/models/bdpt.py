@@ -88,14 +88,16 @@ def _lv(bufs: paths.PathBuffers, v0: dict, s: int):
 def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
     """t=1 strategy: connect every light vertex to the camera lens and splat
     (lightPathTracing, deviceCode.cu:1290-1432). Scatter-add replaces
-    atomicAdd. Returns (fb, rays)."""
+    atomicAdd. s=1 (the light endpoint) is a special static case; s>=2 is a
+    lax.scan over the stored vertices (compile O(1) in light_depth).
+    Returns (fb, rays)."""
     n = lv0["pt"].shape[0]
     w, h = camera.width, camera.height
     plane_area = _plane_area(camera)
+    ones = jnp.ones((n,), jnp.float32)
     rays = jnp.int32(0)
 
-    for s in range(1, cfg.light_depth + 1):
-        v = _lv(lbufs, lv0, s)
+    def splat_vertex(fb, rays, v, first: bool):
         rx, ry, on_screen = camera.world_to_raster(v["pt"])
         go = v["valid"] & on_screen & ~v["is_delta"]
 
@@ -108,45 +110,55 @@ def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
                                         dist - RAY_EPSILON, active=go)
         clear = jnp.max(shadow, axis=-1) > 0.0
 
-        cos_light = dot(v["n"], to_cam_u)           # signed (deviceCode.cu:1339)
-        cos_cam = jnp.abs(dot(jnp.broadcast_to(camera.forward, to_cam_u.shape),
-                              -to_cam_u))
+        cos_light = dot(v["n"], to_cam_u)          # signed (deviceCode.cu:1339)
+        cos_cam = jnp.abs(dot(jnp.broadcast_to(camera.forward,
+                                               to_cam_u.shape), -to_cam_u))
         go = go & clear & (cos_light > EPSILON)
 
         to_cam_local = to_local(to_cam_u, v["n"])
-        if s == 1:
-            light_f = jnp.full((n, 3), 1.0 / PI)    # beta0 carries Le*pi
+        d2 = jnp.maximum(length_sq(to_cam), RAY_EPSILON)
+        pdf_trace_cam = cos_light / (d2 * plane_area * cos_cam ** 3)
+        if first:
+            light_f = jnp.full((n, 3), 1.0 / PI)   # beta0 carries Le*pi
+            w_light = pdf_trace_cam / jnp.maximum(v["pdf_fwd"], 1e-20)
         else:
             to_prev_local = to_local(v["wo"], v["n"])
             mat = scene.materials.gather(v["mat_id"])
             albedo = bsdf_ops.resolve_albedo(scene, mat, v["uv"])
             # f_eval(-currToPrev_local, toCamera_local) (deviceCode.cu:1363)
-            light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local, to_cam_local,
-                                      jnp.ones((n,)))
+            light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local,
+                                      to_cam_local, ones)
+            pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local,
+                                           ones)
+            w_light = pdf_trace_cam * (v["d_vcm"] + pdf_rev_sa * v["d_vc"])
 
-        d2 = jnp.maximum(length_sq(to_cam), RAY_EPSILON)
         we = 1.0 / (plane_area * cos_cam ** 4)
         g = cos_light * cos_cam / d2
         contrib = v["beta"] * light_f * (g * we)[:, None] * shadow
-
-        pdf_trace_cam = cos_light / (d2 * plane_area * cos_cam ** 3)
-        if s == 1:
-            w_light = pdf_trace_cam / jnp.maximum(v["pdf_fwd"], 1e-20)
-        else:
-            mat = scene.materials.gather(v["mat_id"])
-            to_prev_local = to_local(v["wo"], v["n"])
-            pdf_rev_sa = bsdf_ops.bsdf_pdf(
-                scene.materials.gather(v["mat_id"]), to_cam_local,
-                to_prev_local, jnp.ones((n,)))
-            w_light = pdf_trace_cam * (v["d_vcm"] + pdf_rev_sa * v["d_vc"])
         weight = 1.0 / (1.0 + w_light)
 
-        out = _weighted(contrib, weight, cfg)
-        out = jnp.where(go[:, None], out, 0.0)
-
+        out = jnp.where(go[:, None], _weighted(contrib, weight, cfg), 0.0)
         pix = (jnp.clip(ry.astype(jnp.int32), 0, h - 1) * w
                + jnp.clip(rx.astype(jnp.int32), 0, w - 1))
-        fb = fb.at[pix].add(out, mode="drop")
+        return fb.at[pix].add(out, mode="drop"), rays
+
+    fb, rays = splat_vertex(fb, rays, _lv(lbufs, lv0, 1), True)
+
+    if cfg.light_depth >= 2:
+        def body(carry, j):
+            fb, rays = carry
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, j, axis=0, keepdims=False)
+            v = dict(pt=pick(lbufs.pt), n=pick(lbufs.n), wo=pick(lbufs.wo),
+                     uv=pick(lbufs.uv), beta=pick(lbufs.beta),
+                     pdf_fwd=pick(lbufs.pdf_fwd), d_vcm=pick(lbufs.d_vcm),
+                     d_vc=pick(lbufs.d_vc), is_delta=pick(lbufs.is_delta),
+                     mat_id=pick(lbufs.mat_id), valid=pick(lbufs.valid))
+            fb, rays = splat_vertex(fb, rays, v, False)
+            return (fb, rays), None
+
+        (fb, rays), _ = jax.lax.scan(body, (fb, rays),
+                                     jnp.arange(cfg.light_depth - 1))
     return fb, rays
 
 
@@ -229,19 +241,28 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     plane_area = _plane_area(camera)
     num_lights = max(scene.num_lights, 1)
 
-    def evert(t):
-        j = t - 2
-        return dict(pt=ebufs.pt[j], n=ebufs.n[j], wo=ebufs.wo[j],
-                    uv=ebufs.uv[j], beta=ebufs.beta[j], d_vcm=ebufs.d_vcm[j],
-                    d_vc=ebufs.d_vc[j], is_delta=ebufs.is_delta[j],
-                    backface=ebufs.backface[j], light_ind=ebufs.light_ind[j],
-                    mat_id=ebufs.mat_id[j], valid=ebufs.valid[j])
-
-    for t in range(2, cfg.eye_depth + 1):
-        ev = evert(t)
-        ev_prev_pt = ev0["pt"] if t == 2 else ebufs.pt[t - 3]
-        ev_prev_delta = (jnp.ones((n,), bool) if t == 2
-                         else ebufs.is_delta[t - 3])
+    # The whole connection stage is a lax.scan over t (with a nested scan
+    # over s for the general connections): compile time is O(1) in both
+    # depths instead of O(E * L) — at the reference's shipped 16x10 the
+    # unrolled form took minutes to compile.
+    def connect_t(carry, t):
+        li, rays_c = carry
+        pick_e = lambda a: jax.lax.dynamic_index_in_dim(a, t - 2, axis=0,
+                                                        keepdims=False)
+        ev = dict(pt=pick_e(ebufs.pt), n=pick_e(ebufs.n), wo=pick_e(ebufs.wo),
+                  uv=pick_e(ebufs.uv), beta=pick_e(ebufs.beta),
+                  d_vcm=pick_e(ebufs.d_vcm), d_vc=pick_e(ebufs.d_vc),
+                  is_delta=pick_e(ebufs.is_delta),
+                  backface=pick_e(ebufs.backface),
+                  light_ind=pick_e(ebufs.light_ind),
+                  mat_id=pick_e(ebufs.mat_id), valid=pick_e(ebufs.valid))
+        first_t = t == 2
+        jprev = jnp.maximum(t - 3, 0)
+        ev_prev_pt = jnp.where(first_t, ev0["pt"],
+                               jax.lax.dynamic_index_in_dim(
+                                   ebufs.pt, jprev, axis=0, keepdims=False))
+        ev_prev_delta = first_t | jax.lax.dynamic_index_in_dim(
+            ebufs.is_delta, jprev, axis=0, keepdims=False)
         mat_e = scene.materials.gather(ev["mat_id"])
         albedo_e = bsdf_ops.resolve_albedo(scene, mat_e, ev["uv"])
 
@@ -255,23 +276,22 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             cos_l = jnp.abs(dot(ev["n"], normalize(ev["wo"])))
             d2 = jnp.maximum(length_sq(ev["pt"] - ev_prev_pt), 1e-20)
             pdf_connect = (1.0 / num_lights) / jnp.maximum(area, 1e-20)
-            if t == 2:
-                cos_cam = jnp.abs(dot(jnp.broadcast_to(camera.forward,
-                                                       ev["wo"].shape),
-                                      -normalize(ev["wo"])))
-                pdf_trace_cam = cos_l / (d2 * plane_area * cos_cam ** 3)
-                w_eye = pdf_connect / jnp.maximum(pdf_trace_cam, 1e-20)
-                contrib = le * ev["beta"]
-            else:
-                pdf_c = jnp.where(ev_prev_delta, 0.0, pdf_connect)
-                w_eye = (pdf_c * ev["d_vcm"]
+            # t == 2: weigh against the camera trace pdf (prev is the lens)
+            cos_cam = jnp.abs(dot(jnp.broadcast_to(camera.forward,
+                                                   ev["wo"].shape),
+                                  -normalize(ev["wo"])))
+            pdf_trace_cam = cos_l / (d2 * plane_area * cos_cam ** 3)
+            w_eye_first = pdf_connect / jnp.maximum(pdf_trace_cam, 1e-20)
+            # t > 2: recursive weight + firefly clamp
+            pdf_c = jnp.where(ev_prev_delta, 0.0, pdf_connect)
+            w_eye_gen = (pdf_c * ev["d_vcm"]
                          + pdf_c * (cos_l / PI) * ev["d_vc"])
-                contrib = le * ev["beta"]
-                lum = luminance(contrib)
-                scale = jnp.where(lum > MAX_FIREFLY_LUM,
-                                  MAX_FIREFLY_LUM / jnp.maximum(lum, 1e-20),
-                                  1.0)
-                contrib = contrib * scale[:, None]
+            w_eye = jnp.where(first_t, w_eye_first, w_eye_gen)
+            contrib = le * ev["beta"]
+            lum = luminance(contrib)
+            scale = jnp.where((lum > MAX_FIREFLY_LUM) & ~first_t,
+                              MAX_FIREFLY_LUM / jnp.maximum(lum, 1e-20), 1.0)
+            contrib = contrib * scale[:, None]
             weight = 1.0 / (1.0 + w_eye)
             out = _weighted(contrib, weight, cfg)
             li = li + jnp.where(is_light[:, None], out, 0.0)
@@ -302,9 +322,18 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             li = li + jnp.where((do & ne["ok"])[:, None], out, 0.0)
 
         # ---- s >= 2: general connections (deviceCode.cu:1653-1763) ----
-        if cfg.connection:
-            for s in range(2, cfg.light_depth + 1):
-                lv = _lv(lbufs, lv0, s)
+        if cfg.connection and cfg.light_depth >= 2:
+            def connect_one(carry, j):
+                li_acc, rays_acc = carry
+                pick = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, j, axis=0, keepdims=False)
+                lv = dict(pt=pick(lbufs.pt), n=pick(lbufs.n),
+                          beta=pick(lbufs.beta), wo=pick(lbufs.wo),
+                          uv=pick(lbufs.uv), d_vcm=pick(lbufs.d_vcm),
+                          d_vc=pick(lbufs.d_vc),
+                          is_delta=pick(lbufs.is_delta),
+                          mat_id=pick(lbufs.mat_id),
+                          valid=pick(lbufs.valid))
                 mat_l = scene.materials.gather(lv["mat_id"])
                 albedo_l = bsdf_ops.resolve_albedo(scene, mat_l, lv["uv"])
                 do = (ev["valid"] & lv["valid"] & ~ev["is_delta"]
@@ -319,11 +348,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 do = do & (cos_l > EPSILON) & (cos_e > EPSILON)
 
                 origin = ev["pt"] + ev["n"] * RAY_EPSILON
-                rays_c = rays_c + jnp.sum(do.astype(jnp.int32))
+                rays_acc = rays_acc + jnp.sum(do.astype(jnp.int32))
                 shadow = traverse.shadow_factor(scene, origin, e2l_u,
                                                 dist - RAY_EPSILON, active=do)
-                clear = jnp.max(shadow, axis=-1) > 0.0
-                do = do & clear
+                do = do & (jnp.max(shadow, axis=-1) > 0.0)
 
                 l2e_loc_l = to_local(-e2l_u, lv["n"])
                 to_l_from_prev_loc = to_local(-lv["wo"], lv["n"])
@@ -360,7 +388,17 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 contrib = (ev["beta"] * lv["beta"] * f_eye * f_light
                            * g[:, None] * shadow)
                 out = _weighted(contrib, weight, cfg)
-                li = li + jnp.where(do[:, None], out, 0.0)
+                li_acc = li_acc + jnp.where(do[:, None], out, 0.0)
+                return (li_acc, rays_acc), None
+
+            (li, rays_c), _ = jax.lax.scan(
+                connect_one, (li, rays_c),
+                jnp.arange(cfg.light_depth - 1))  # s=2..L -> buffer j=0..L-2
+
+        return (li, rays_c), None
+
+    (li, rays_c), _ = jax.lax.scan(connect_t, (li, rays_c),
+                                   jnp.arange(2, cfg.eye_depth + 1))
 
     total = li + fb
     rays = rays_l + rays_e + rays_s + rays_c

@@ -88,11 +88,14 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
     w, h = camera.width, camera.height
     plane_area = _plane_area(camera)
     ones = jnp.ones((n,), jnp.float32)
-    rays = jnp.int32(0)
 
-    for j in range(cfg.light_depth):
-        go = lbufs.valid[j] & ~lbufs.is_delta[j]
-        pt, nrm = lbufs.pt[j], lbufs.n[j]
+    def body(carry, j):
+        fb, rays = carry
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, j, axis=0,
+                                                      keepdims=False)
+        valid, is_delta = pick(lbufs.valid), pick(lbufs.is_delta)
+        pt, nrm = pick(lbufs.pt), pick(lbufs.n)
+        go = valid & ~is_delta
         rx, ry, on_screen = camera.world_to_raster(pt)
         go = go & on_screen
 
@@ -108,27 +111,30 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
         go = go & clear & (cos_l > EPSILON)
 
         to_cam_local = to_local(tcu, nrm)
-        to_prev_local = to_local(lbufs.wo[j], nrm)
-        mat = scene.materials.gather(lbufs.mat_id[j])
-        albedo = bsdf_ops.resolve_albedo(scene, mat, lbufs.uv[j])
+        to_prev_local = to_local(pick(lbufs.wo), nrm)
+        mat = scene.materials.gather(pick(lbufs.mat_id))
+        albedo = bsdf_ops.resolve_albedo(scene, mat, pick(lbufs.uv))
         light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local, to_cam_local,
                                   ones)
 
         d2 = jnp.maximum(length_sq(to_cam), RAY_EPSILON)
         we = 1.0 / (plane_area * cos_c ** 4)
         g = cos_l * cos_c / d2
-        contrib = lbufs.beta[j] * light_f * (g * we)[:, None] * shadow
+        contrib = pick(lbufs.beta) * light_f * (g * we)[:, None] * shadow
 
         pdf_curr_rev_area = cos_l / (d2 * plane_area * cos_c ** 3)
         pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local, ones)
-        w_light = pdf_curr_rev_area * (eta_vcm + lbufs.d_vcm[j]
-                                       + pdf_rev_sa * lbufs.d_vc[j])
+        w_light = pdf_curr_rev_area * (eta_vcm + pick(lbufs.d_vcm)
+                                       + pdf_rev_sa * pick(lbufs.d_vc))
         weight = 1.0 / (1.0 + w_light)
 
         out = jnp.where(go[:, None], _weighted(contrib, weight, cfg), 0.0)
         pix = (jnp.clip(ry.astype(jnp.int32), 0, h - 1) * w
                + jnp.clip(rx.astype(jnp.int32), 0, w - 1))
-        fb = fb.at[pix].add(out, mode="drop")
+        return (fb.at[pix].add(out, mode="drop"), rays), None
+
+    (fb, rays), _ = jax.lax.scan(body, (fb, jnp.int32(0)),
+                                 jnp.arange(cfg.light_depth))
     return fb, rays
 
 
@@ -252,11 +258,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             colorsum = colorsum + jnp.where((conn & ne["ok"])[:, None], out,
                                             0.0)
 
-        # ---- s >= 2: connections vs stored light path (connectGeneral)
+        # ---- s >= 2: connections vs stored light path (connectGeneral),
+        # scanned over the light path (compile O(1) in light_depth)
         if cfg.connection:
-            for j in range(cfg.light_depth):
-                do = (conn & lbufs.valid[j] & ~lbufs.is_delta[j])
-                lpt, lnrm = lbufs.pt[j], lbufs.n[j]
+            def connect_one(carry, j):
+                colorsum, rays = carry
+                pick = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, j, axis=0, keepdims=False)
+                do = (conn & pick(lbufs.valid) & ~pick(lbufs.is_delta))
+                lpt, lnrm = pick(lbufs.pt), pick(lbufs.n)
                 e2l = lpt - pos
                 d2 = jnp.maximum(length_sq(e2l), RAY_EPSILON)
                 dist = jnp.sqrt(d2)
@@ -271,10 +281,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                     dist - RAY_EPSILON, active=do)
                 do = do & (jnp.max(shadow, axis=-1) > 0.0)
 
-                mat_l = scene.materials.gather(lbufs.mat_id[j])
-                albedo_l = bsdf_ops.resolve_albedo(scene, mat_l, lbufs.uv[j])
+                mat_l = scene.materials.gather(pick(lbufs.mat_id))
+                albedo_l = bsdf_ops.resolve_albedo(scene, mat_l,
+                                                   pick(lbufs.uv))
                 l2e_loc_l = to_local(-e2l_u, lnrm)
-                to_l_from_prev_loc = to_local(-lbufs.wo[j], lnrm)
+                to_l_from_prev_loc = to_local(-pick(lbufs.wo), lnrm)
                 l2e_loc_e = to_local(-e2l_u, normal)
                 to_prev_loc_e = to_local(normalize(prev_pt - pos), normal)
 
@@ -292,8 +303,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 w_eye = pdf_eye_rev_area * (eta_vcm + d_vcm
                                             + pdf_bef_eye_rev_sa * d_vc)
                 w_light = pdf_light_rev_area * (
-                    eta_vcm + lbufs.d_vcm[j]
-                    + pdf_bef_light_rev_sa * lbufs.d_vc[j])
+                    eta_vcm + pick(lbufs.d_vcm)
+                    + pdf_bef_light_rev_sa * pick(lbufs.d_vc))
                 weight = 1.0 / (1.0 + w_eye + w_light)
 
                 f_eye = bsdf_ops.bsdf_f(mat, albedo, -l2e_loc_e,
@@ -301,20 +312,24 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 f_light = bsdf_ops.bsdf_f(mat_l, albedo_l, l2e_loc_l,
                                           -to_l_from_prev_loc, ones)
                 gg = jnp.minimum(cos_e * cos_l / d2, MAX_G_CONNECT)
-                contrib = (thr * lbufs.beta[j] * f_eye * f_light
+                contrib = (thr * pick(lbufs.beta) * f_eye * f_light
                            * gg[:, None] * shadow)
                 out = _clamp_firefly(_weighted(contrib, weight, cfg))
                 colorsum = colorsum + jnp.where(do[:, None], out, 0.0)
+                return (colorsum, rays), None
 
-        # ---- merge (deviceCode.cu:2968-3048)
+            (colorsum, rays), _ = jax.lax.scan(
+                connect_one, (colorsum, rays), jnp.arange(cfg.light_depth))
+
+        # ---- merge (deviceCode.cu:2968-3048) — folded over the neighborhood
         if cfg.do_merge:
             merge_norm = 1.0 / (PI * mr * mr * n)
-            for row, in_range in hashgrid.gather_neighbors(
-                    grid, pos, mr, cfg.max_per_cell, active=conn):
+            eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
+
+            def merge_fold(colorsum, row, in_range):
                 photon_wi = row[:, 3:6]       # toward the photon's prev
                 p_d_vcm, p_d_vm = row[:, 12], row[:, 13]
                 wi_loc = to_local(photon_wi, normal)
-                eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
                 f_val = bsdf_ops.bsdf_f(mat, albedo, wi_loc, eye_prev_loc,
                                         ones)
                 pdf_eye_rev = bsdf_ops.bsdf_pdf(mat, wi_loc, eye_prev_loc,
@@ -328,7 +343,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 weight = 1.0 / (1.0 + w_eye + w_light)
                 contrib = row[:, 9:12] * f_val * thr * merge_norm
                 out = _weighted(contrib, weight, cfg)
-                colorsum = colorsum + jnp.where(in_range[:, None], out, 0.0)
+                return colorsum + jnp.where(in_range[:, None], out, 0.0)
+
+            colorsum = hashgrid.fold_neighbors(
+                grid, pos, mr, cfg.max_per_cell, merge_fold, colorsum,
+                active=conn)
 
         # ---- continue the walk / SPPM first-surface break
         new_thr = thr * f_val * (jnp.abs(wi_local[..., 2])

@@ -123,6 +123,48 @@ def gather_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                     yield row, in_range
 
 
+def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
+                   max_per_cell: int, fold, init, active=None):
+    """Rolled-control-flow variant of gather_neighbors: scan over the 8
+    corner cells with an inner fori over slots, folding
+    fold(carry, photon_row [N,16], in_range [N]) -> carry.
+
+    Identical candidate set and runtime cost to the generator form, but the
+    fold body compiles ONCE instead of 8*max_per_cell times — inside the VCM
+    eye-pass scan that is the difference between minutes and seconds of
+    compile time.
+    """
+    n = query_pos.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    r2 = merge_radius * merge_radius
+    base = _cell_of(query_pos, grid.scene_min, grid.cell_size)
+    frac = (query_pos - grid.scene_min) / grid.cell_size - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+
+    def cell_body(carry, c):
+        off = jnp.stack([step[:, 0] * ((c >> 0) & 1),
+                         step[:, 1] * ((c >> 1) & 1),
+                         step[:, 2] * ((c >> 2) & 1)], axis=-1)
+        h = _hash_cells(base + off, grid.table_size)
+        start = grid.cell_start[h]
+        count = jnp.maximum(grid.cell_end[h] - start, 0)
+
+        def slot_body(k, carry):
+            valid_slot = active & (k < count)
+            i = jnp.where(valid_slot, start + k, 0)
+            row = grid.rows[i]
+            diff = query_pos - row[:, 0:3]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            return fold(carry, row, valid_slot & (d2 <= r2))
+
+        carry = jax.lax.fori_loop(0, max_per_cell, slot_body, carry)
+        return carry, None
+
+    carry, _ = jax.lax.scan(cell_body, init, jnp.arange(8, dtype=jnp.int32))
+    return carry
+
+
 def photon_table_size(max_photons: int) -> int:
     """nextPrime(2 * maxPhotons), the reference's sizing (deviceCode.cu:3290)."""
     return next_prime(2 * max_photons)
