@@ -139,10 +139,14 @@ def _frame3(nrm):
 
 
 def power2_weight(p, q):
-    """Power-2 MIS heuristic p^2/(p^2+q^2) (deviceCode.cu:449-450)."""
-    p2 = p * p
-    q2 = q * q
-    return p2 / jnp.maximum(p2 + q2, 1e-20)
+    """Power-2 MIS heuristic p^2/(p^2+q^2) (deviceCode.cu:449-450), in the
+    overflow-safe ratio form 1/(1+(q/p)^2): near-grazing light samples drive
+    the area->solid-angle pdf beyond float range and the naive form yields
+    inf/inf = NaN (the reference has the same overflow — its NaN pixels get
+    painted magenta by the scrub; we avoid creating them)."""
+    r = q / jnp.maximum(p, 1e-30)
+    w = 1.0 / (1.0 + r * r)
+    return jnp.where(p > 0.0, w, 0.0)
 
 
 # ---------------------------------------------------------------------------
