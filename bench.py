@@ -29,8 +29,9 @@ def main():
                     help="256x256 quick mode (CI/CPU)")
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--chunks", type=int, default=4,
-                    help="split the wavefront into pixel chunks (memory cap)")
+    ap.add_argument("--chunks", type=int, default=20,
+                    help="split the wavefront into pixel chunks (memory cap; "
+                    "~100k-lane chunks measured fastest on v5e)")
     args = ap.parse_args()
 
     # pay the remote-tunnel first-transfer initialization outside the timers
