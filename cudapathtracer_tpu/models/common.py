@@ -87,18 +87,29 @@ def nee_pdf(scene, from_point, light_point, light_normal, light_area):
     return d2 / (sign * jnp.maximum(jnp.abs(denom), 1e-20))
 
 
-def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
-                          mat, albedo, eta_i, active):
-    """One NEE shadow connection per lane (deviceCode.cu:87-156).
+class NEESample(NamedTuple):
+    """An NEE connection with everything except the shadow trace resolved —
+    lets integrators defer the occlusion test into a fused traversal
+    (ops/traverse.trace_fused)."""
+    contrib: jax.Array    # [N,3] f*Le*cos/pdf, pdf/active-gated, UNSHADOWED
+    light_pdf: jax.Array  # [N]
+    wo_local: jax.Array   # [N,3] light dir in shading space (MIS counter-pdf)
+    origin: jax.Array     # [N,3] shadow ray origin
+    dir: jax.Array        # [N,3] shadow ray direction
+    max_t: jax.Array      # [N]
+    active: jax.Array     # [N] worth tracing (active & pdf > eps)
 
-    Returns (contribution [N,3] — f*Le*cos/pdf*shadow, light_pdf [N],
-    wo_local [N,3] — the light direction in shading space, for the BSDF-pdf
-    MIS counter-weight).
-    """
+
+def nee_sample(scene, key, draw_base, point, normal, wi_local,
+               mat, albedo, eta_i, active) -> NEESample:
+    """Light sample + unshadowed NEE contribution (deviceCode.cu:87-156
+    minus the shadow ray, which the caller traces — possibly fused)."""
     n = point.shape[0]
     if scene.num_lights == 0:
         z = jnp.zeros((n, 3), jnp.float32)
-        return z, jnp.full((n,), -1.0), z
+        return NEESample(z, jnp.full((n,), -1.0), z, point, z,
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), bool))
 
     ls = sample_light_point(scene, key, draw_base, n)
     stl = ls.point - point
@@ -109,10 +120,7 @@ def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
     # max_t measured from the offset origin (the reference re-intersects the
     # light triangle from there, deviceCode.cu:124-127); the extra EPSILON
     # keeps the light itself strictly outside the occlusion test
-    shadow = traverse.shadow_factor(scene, origin, wi,
-                                    (dist - EPSILON) * (1.0 - EPSILON),
-                                    active=active)
-    clear = jnp.max(shadow, axis=-1) > 0.0
+    max_t = (dist - EPSILON) * (1.0 - EPSILON)
 
     light_pdf = nee_pdf(scene, point, ls.point, ls.normal, ls.area)
     cos_surf = jnp.abs(dot(normal, wi))
@@ -120,11 +128,29 @@ def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
     wo_local = jnp.stack([dot(wi, t) for t in _frame3(normal)], axis=-1)
     f_val = bsdf_ops.bsdf_f(mat, albedo, -wi_local, wo_local, eta_i)
 
-    contrib = (f_val * ls.emission * (cos_surf / _safe(light_pdf))[:, None]
-               * shadow)
-    contrib = jnp.where((clear & (light_pdf > EPSILON) & active)[:, None],
-                        contrib, 0.0)
-    return contrib, light_pdf, wo_local
+    contrib = f_val * ls.emission * (cos_surf / _safe(light_pdf))[:, None]
+    gate = (light_pdf > EPSILON) & active
+    contrib = jnp.where(gate[:, None], contrib, 0.0)
+    return NEESample(contrib, light_pdf, wo_local, origin, wi, max_t, gate)
+
+
+def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
+                          mat, albedo, eta_i, active):
+    """One NEE shadow connection per lane (deviceCode.cu:87-156).
+
+    Returns (contribution [N,3] — f*Le*cos/pdf*shadow, light_pdf [N],
+    wo_local [N,3] — the light direction in shading space, for the BSDF-pdf
+    MIS counter-weight).
+    """
+    ns = nee_sample(scene, key, draw_base, point, normal, wi_local, mat,
+                    albedo, eta_i, active)
+    if scene.num_lights == 0:
+        return ns.contrib, ns.light_pdf, ns.wo_local
+    shadow = traverse.shadow_factor(scene, ns.origin, ns.dir, ns.max_t,
+                                    active=ns.active)
+    clear = jnp.max(shadow, axis=-1) > 0.0
+    contrib = jnp.where(clear[:, None], ns.contrib * shadow, 0.0)
+    return contrib, ns.light_pdf, ns.wo_local
 
 
 def _safe(x, eps=1e-20):

@@ -47,8 +47,8 @@ STEPS_PER_ITER = int(_os.environ.get("TPT_STEPS_PER_ITER", "4"))
 # n/COMPACT_FRAC, then gathers survivors into an n/COMPACT_FRAC-wide state
 # and recurses — so a wavefront that is already sparse (e.g. late Russian-
 # roulette bounces) drops to a narrow width immediately.
-COMPACT_FRAC = 8
-MIN_COMPACT_WIDTH = 8192
+COMPACT_FRAC = int(_os.environ.get("TPT_COMPACT_FRAC", "8"))
+MIN_COMPACT_WIDTH = int(_os.environ.get("TPT_MIN_COMPACT_WIDTH", "8192"))
 
 
 def _compacted_while(step, init, n):
@@ -274,6 +274,28 @@ def shadow_factor(scene, o, d, max_t, skip_tri=None, active=None):
             skip_tri)
     out = _compacted_while(step, init, n)
     return out[1]
+
+
+def trace_fused(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
+    """Mixed closest-hit + shadow wavefront in one traversal loop.
+
+    Lanes with is_shadow=False are closest-hit rays (t_lim = initial t_best,
+    result in the returned Hit); lanes with is_shadow=True are any-hit shadow
+    rays (t_lim = max_t, result in the returned scale [N,3]). The BVH8 engine
+    runs both modes in one compacted loop, which averages the two
+    populations' tail lengths; the threaded engine falls back to two calls.
+    """
+    if getattr(scene, "traversal", "threaded") == "bvh8":
+        from cudapathtracer_tpu.ops import traverse8
+        return traverse8.trace_fused8(scene, o, d, t_lim, is_shadow,
+                                      skip_tri, active)
+    n = o.shape[0]
+    act = jnp.ones((n,), bool) if active is None else active
+    hit = closest_hit(scene, o, d, max_t=t_lim, skip_tri=skip_tri,
+                      active=act & ~is_shadow)
+    scale = shadow_factor(scene, o, d, t_lim, skip_tri=skip_tri,
+                          active=act & is_shadow)
+    return hit, scale
 
 
 def interpolate_hit(scene, o, d, hit: Hit):

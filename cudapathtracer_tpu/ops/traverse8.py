@@ -1,12 +1,13 @@
 """BVH8 wavefront traversal with a vectorized per-lane stack.
 
 Companion engine to ops/traverse.py (threaded binary): each while-loop step
-pops ONE entry per lane, gathers ONE unified 64-float row (scene/bvh8.py),
-and either slab-tests all 8 children at once (inner row — hit children are
-distance-sorted far-to-near with an odd-even network and pushed, so the
-nearest pops first) or Möller-Trumbore-tests up to 4 inline triangles (leaf
-row). The stack is [N, D] int32 manipulated with one-hot masks — wide VPU
-ops, no per-lane memory indirection.
+pops ONE entry per lane, gathers ONE unified row (scene/bvh8.py CBVH
+layout: sibling rows contiguous, child = base + slot), and either
+slab-tests all 8 children at once (inner row — a single packed int key per
+child is distance-sorted with an odd-even network; the nearest is entered
+directly, the rest pushed far->near) or Möller-Trumbore-tests the inline
+leaf triangles (leaf row). The stack is [N, D] int32 manipulated with
+one-hot masks — wide VPU ops, no per-lane memory indirection.
 
 Per-ray gather count drops ~3-4x vs the binary thread; the gather is the
 dominant per-step cost on TPU, so this is the headline Mrays/s engine.
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 from cudapathtracer_tpu.ops.intersect import BIG_T, moller_trumbore, safe_inv_dir
 from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
                                              LEAF_MAT_FLAG)
-from cudapathtracer_tpu.utils.math import dot, normalize
+from cudapathtracer_tpu.utils.math import normalize
 
 # Stack depth: with descend-direct traversal (the nearest hit child is
 # entered immediately instead of being pushed) the measured worst-case
@@ -64,19 +65,84 @@ def _pop(stack, top):
     return entry, stack, jnp.where(has, top2, top)
 
 
-def _sort_desc(keys, metas, masks):
-    """Odd-even network sort of 8 (key, meta, mask) triples, key DESCENDING
-    — misses carry -inf keys so all live slots form a prefix and the LAST
-    live slot is the nearest."""
-    k = list(keys)
-    m = list(metas)
-    g = list(masks)
+_KEY_INVALID = 0x7FFFFFFF  # sorts last ascending; unreachable by real keys
+
+
+def _sort8_keys(ks):
+    """Odd-even network sort of 8 packed int32 keys, ASCENDING — one
+    min/max pair per comparator (the CBVH layout lets metas be
+    reconstructed arithmetically after the sort, so only the key array is
+    permuted: ~1/3 the network traffic of sorting (key, meta, mask)
+    triples, which profiling showed was the largest non-gather cost of a
+    traversal step)."""
+    ks = list(ks)
     for a, b in _SORT8:
-        swap = k[a] < k[b]
-        k[a], k[b] = jnp.where(swap, k[b], k[a]), jnp.where(swap, k[a], k[b])
-        m[a], m[b] = jnp.where(swap, m[b], m[a]), jnp.where(swap, m[a], m[b])
-        g[a], g[b] = jnp.where(swap, g[b], g[a]), jnp.where(swap, g[a], g[b])
-    return k, m, g
+        lo = jnp.minimum(ks[a], ks[b])
+        hi = jnp.maximum(ks[a], ks[b])
+        ks[a], ks[b] = lo, hi
+    return ks
+
+
+def _child_meta8(row, is_node, hit8):
+    """Per-slot child entries of a CBVH node row: child_base + slot, with
+    the leaf-row flag in bit 30. Returns (meta8 [N,8] i32, live [N,8])."""
+    cb = _i32(row[:, 48:50])
+    base, leaf_mask = cb[:, 0], cb[:, 1]
+    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
+    leaf8 = (leaf_mask[:, None] >> slots) & 1
+    meta8 = (base[:, None] + slots) | (leaf8 << 30)
+    return meta8, is_node[:, None] & hit8
+
+
+def _node_stage(row, o, inv_d, t_cut, is_node):
+    """Ordered CBVH node stage: slab-test all 8 children, sort a single
+    packed key (tmin bits | leaf flag | slot) per slot, reconstruct child
+    rows as child_base + slot. Returns (direct — nearest hit child entry or
+    -1, push_metas, push_masks — 7 deferred children, far->near, for
+    _push)."""
+    tmin8, hit8 = _slab8(row, o, inv_d, t_cut)
+    cb = _i32(row[:, 48:50])
+    base, leaf_mask = cb[:, 0], cb[:, 1]
+    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
+    leaf8 = (leaf_mask[:, None] >> slots) & 1
+    # IEEE total-order trick: int bits sort like the float once negative
+    # patterns have their low 31 bits flipped — NEGATIVE tmins (boxes
+    # straddling the origin, common for secondary rays) must keep their
+    # true order: clamping them to 0 measured +20% lockstep iterations.
+    # The low 4 bits are recycled for (leaf flag << 3 | slot) — ties within
+    # a 16-ulp bucket break arbitrarily, which only affects visit order.
+    tb = jax.lax.bitcast_convert_type(tmin8, jnp.int32)
+    tb = jnp.where(tb >= 0, tb, tb ^ jnp.int32(0x7FFFFFFF))
+    key = (tb & jnp.int32(~15)) | (leaf8 << 3) | slots
+    live = is_node[:, None] & hit8
+    key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
+    ks = _sort8_keys([key[:, i] for i in range(8)])
+    metas, masks = [], []
+    for k in ks:
+        g = k != _KEY_INVALID
+        meta = (base + (k & 7)) | ((k & 8) << 27)   # leaf bit 3 -> bit 30
+        metas.append(jnp.where(g, meta, -1))
+        masks.append(g)
+    return metas[0], metas[1:][::-1], masks[1:][::-1]
+
+
+def _node_stage_anyorder(row, o, inv_d, t_cut, is_node):
+    """Unordered CBVH node stage for any-hit rays: no sort — descend the
+    first hit child, push the rest. Returns (direct, push_metas,
+    push_masks)."""
+    tmin8, hit8 = _slab8(row, o, inv_d, t_cut)
+    meta8, live = _child_meta8(row, is_node, hit8)
+    metas = [jnp.where(live[:, i], meta8[:, i], -1) for i in range(8)]
+    masks = [live[:, i] for i in range(8)]
+    direct = jnp.full_like(metas[0], -1)
+    for i in range(7, -1, -1):
+        direct = jnp.where(masks[i], metas[i], direct)
+    seen = jnp.zeros_like(masks[0])
+    push_masks = []
+    for i in range(8):
+        push_masks.append(masks[i] & seen)
+        seen = seen | masks[i]
+    return direct, metas[1:], push_masks[1:]
 
 
 def _push(stack, top, metas, masks):
@@ -93,6 +159,77 @@ def _push(stack, top, metas, masks):
     return stack, top, lost
 
 
+def _leaf_tris(row, o, d, t_cut, skip_tri, is_leaf, lt):
+    """Batched Möller-Trumbore over the row's `lt` inline triangles.
+
+    One [N,lt]-wide evaluation instead of lt narrow per-column passes —
+    narrow slices of a gathered row are re-materialized per consumer by
+    XLA:TPU (measured ~2x whole-traversal cost), wide ops are not.
+
+    Returns (tt, uu, vv, ok, tid, raw) all [N,lt]."""
+    tris = row[:, 0:9 * lt].reshape(-1, lt, 9)
+    tt, uu, vv, ok = moller_trumbore(o[:, None, :], d[:, None, :],
+                                     tris[..., 0:3], tris[..., 3:6],
+                                     tris[..., 6:9])
+    raw = _i32(row[:, 9 * lt:10 * lt])
+    tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)
+    ok = (ok & is_leaf[:, None] & (tid >= 0) & (tt < t_cut[:, None])
+          & (tid != skip_tri[:, None]))
+    return tt, uu, vv, ok, tid, raw
+
+
+def _leaf_closest(tt, uu, vv, ok, tid, t_best, tri, u, v):
+    """Fold the row's best triangle hit into (t_best, tri, u, v) — wide
+    [N,4] reduction, ties resolved to the first slot."""
+    inf = jnp.float32(jnp.inf)
+    ttm = jnp.where(ok, tt, inf)
+    t_cand = jnp.min(ttm, axis=1)
+    hit = t_cand < inf
+    sel = (ttm == t_cand[:, None]) & ok
+    first = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
+    pick = lambda a: jnp.sum(jnp.where(first, a, 0), axis=1)
+    t_best = jnp.where(hit, t_cand, t_best)
+    tri = jnp.where(hit, pick(tid), tri)
+    u = jnp.where(hit, pick(uu), u)
+    v = jnp.where(hit, pick(vv), v)
+    return t_best, tri, u, v
+
+
+def _leaf_shadow(scene, with_leaf, d, tt, uu, vv, ok, tid, raw, row, scale,
+                 blocked):
+    """Fold the row's triangle occlusions into (scale, blocked) — batched
+    across the 4 slots. MAT_LEAF transmissions multiply commutatively; the
+    darkness early-out (<0.01) is applied after the row's full product
+    (BVHShadowRay applies it per hit in traversal order — same fixpoint,
+    the running scale only ever shrinks)."""
+    oks = ok & ~blocked[:, None]
+    if with_leaf:
+        is_leaf_mat = (raw >= 0) & ((raw & LEAF_MAT_FLAG) != 0)
+        srow = scene.tri_shadow[jnp.maximum(tid, 0)]        # [N,lt,16]
+        n3 = srow[..., 0:9].reshape(-1, tid.shape[1], 3, 3)
+        mat4 = srow[..., 9:13]
+        ior = srow[..., 13]
+        w0 = 1.0 - uu - vv
+        nrm = normalize(n3[:, :, 0] * w0[..., None]
+                        + n3[:, :, 1] * uu[..., None]
+                        + n3[:, :, 2] * vv[..., None])
+        cos_t = jnp.abs(jnp.sum(d[:, None, :] * nrm, axis=-1))
+        r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+        fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+        leaf_scale = mat4[..., 0:3] * mat4[..., 3:4] * (1.0 - fres)[..., None]
+        pass_leaf = oks & is_leaf_mat
+        factor = jnp.prod(jnp.where(pass_leaf[..., None], leaf_scale, 1.0),
+                          axis=1)
+        scale = scale * factor
+        opaque = jnp.any(oks & ~is_leaf_mat, axis=1)
+        dark = jnp.max(scale, axis=-1) < 0.01
+        blocked = blocked | opaque | (jnp.any(pass_leaf, axis=1) & dark)
+    else:
+        blocked = blocked | jnp.any(oks, axis=1)
+    scale = jnp.where(blocked[:, None], 0.0, scale)
+    return scale, blocked
+
+
 def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     """BVH8 closest-hit traversal; drop-in for traverse.closest_hit."""
     n = o.shape[0]
@@ -104,6 +241,7 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         skip_tri = jnp.full((n,), -1, jnp.int32)
     inv_d = safe_inv_dir(d)
     table = scene.bvh8_table
+    lt = getattr(scene, 'bvh8_leaf_tris', 4)
     leaf_bit = jnp.int32(1 << 30)
 
     # descend-direct: `direct` holds the next entry to process without
@@ -125,46 +263,22 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         is_leaf = valid & ((entry & leaf_bit) != 0)
         is_node = valid & ~is_leaf
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        row = table[rowid]                               # THE gather [N,64]
+        # THE gather [N,64]; the barrier pins ONE materialization (XLA:TPU
+        # otherwise re-issues the gather per consuming slice, measured +18%)
+        row = table[rowid]
 
-        # ---- inner-node branch: 8-wide slab, sort far->near, descend near
-        tmin8, hit8 = _slab8(row, o, inv_d, t_best)
-        meta8 = _i32(row[:, 48:56])
-        neg_inf = jnp.float32(-jnp.inf)
-        keys, metas, masks = [], [], []
-        for i in range(8):
-            mi = meta8[:, i]
-            gi = is_node & hit8[:, i] & (mi != -1)
-            keys.append(jnp.where(gi, tmin8[:, i], neg_inf))
-            metas.append(mi)
-            masks.append(gi)
-        k, m, g = _sort_desc(keys, metas, masks)
-        # nearest = last live slot; it becomes `direct`, the rest are pushed
-        new_direct = jnp.full_like(direct, -1)
-        for i in range(8):
-            new_direct = jnp.where(g[i], m[i], new_direct)
-        rest_after = jnp.zeros_like(g[7])
-        push_masks = [None] * 8
-        for i in range(7, -1, -1):
-            push_masks[i] = g[i] & rest_after
-            rest_after = rest_after | g[i]
-        stack, top, lost = _push(stack, top, m[:7], push_masks[:7])
+        # ---- inner-node branch: packed-key sort, descend nearest,
+        # push deferred siblings far->near
+        new_direct, pm, pmask = _node_stage(row, o, inv_d, t_best, is_node)
+        stack, top, lost = _push(stack, top, pm, pmask)
         # encode pending loss in lostc's low bit; restarts in higher bits
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- leaf branch: up to 4 inline triangle tests
-        tris = row[:, 0:36].reshape(-1, 4, 3, 3)
-        ids = _i32(row[:, 36:40])
-        for kk in range(4):
-            tt, uu, vv, ok = moller_trumbore(o, d, tris[:, kk, 0],
-                                             tris[:, kk, 1], tris[:, kk, 2])
-            rawid = ids[:, kk]
-            tid = jnp.where(rawid < 0, -1, rawid & ~LEAF_MAT_FLAG)
-            ok = ok & is_leaf & (tid >= 0) & (tt < t_best) & (tid != skip_tri)
-            t_best = jnp.where(ok, tt, t_best)
-            tri = jnp.where(ok, tid, tri)
-            u = jnp.where(ok, uu, u)
-            v = jnp.where(ok, vv, v)
+        # ---- leaf branch: batched leaf-triangle test (one wide [N,lt] pass)
+        tt, uu, vv, ok, tid, _raw = _leaf_tris(row, o, d, t_best, skip_tri,
+                                               is_leaf, lt)
+        t_best, tri, u, v = _leaf_closest(tt, uu, vv, ok, tid,
+                                          t_best, tri, u, v)
 
         direct = new_direct
         # drained with a pending loss -> restart from the root (t_best kept,
@@ -196,6 +310,7 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         skip_tri = jnp.full((n,), -1, jnp.int32)
     inv_d = safe_inv_dir(d)
     table = scene.bvh8_table
+    lt = getattr(scene, 'bvh8_leaf_tris', 4)
     with_leaf = scene.has_leaf_materials
     leaf_bit = jnp.int32(1 << 30)
 
@@ -218,60 +333,17 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
         row = table[rowid]
 
-        tmin8, hit8 = _slab8(row, o, inv_d, max_t)
-        meta8 = _i32(row[:, 48:56])
-        metas, masks = [], []
-        for i in range(8):
-            mi = meta8[:, i]
-            gi = is_node & hit8[:, i] & (mi != -1)
-            metas.append(mi)
-            masks.append(gi)
         # any-hit: order irrelevant — descend the first hit child, push rest
-        new_direct = jnp.full_like(direct, -1)
-        for i in range(7, -1, -1):
-            new_direct = jnp.where(masks[i], metas[i], new_direct)
-        seen = jnp.zeros_like(masks[0])
-        push_masks = []
-        for i in range(8):
-            push_masks.append(masks[i] & seen)
-            seen = seen | masks[i]
-        stack, top, lost = _push(stack, top, metas[1:], push_masks[1:])
+        new_direct, pm, pmask = _node_stage_anyorder(row, o, inv_d, max_t,
+                                                     is_node)
+        stack, top, lost = _push(stack, top, pm, pmask)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        tris = row[:, 0:36].reshape(-1, 4, 3, 3)
-        ids = _i32(row[:, 36:40])
+        tt, uu, vv, ok, tid, raw = _leaf_tris(row, o, d, max_t, skip_tri,
+                                              is_leaf, lt)
         blocked = jnp.zeros_like(entry, dtype=bool)
-        for k in range(4):
-            tt, uu, vv, ok = moller_trumbore(o, d, tris[:, k, 0],
-                                             tris[:, k, 1], tris[:, k, 2])
-            raw = ids[:, k]
-            tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)
-            ok = ok & is_leaf & ~blocked & (tid >= 0) & (tt < max_t) \
-                & (tid != skip_tri)
-            if with_leaf:
-                is_leaf_mat = (raw >= 0) & ((raw & LEAF_MAT_FLAG) != 0)
-                srow = scene.tri_shadow[jnp.maximum(tid, 0)]
-                n3 = srow[:, 0:9].reshape(-1, 3, 3)
-                mat4 = srow[:, 9:13].reshape(-1, 4)
-                ior = srow[:, 13]
-                w0 = 1.0 - uu - vv
-                nrm = normalize(n3[:, 0] * w0[:, None]
-                                + n3[:, 1] * uu[:, None]
-                                + n3[:, 2] * vv[:, None])
-                cos_t = jnp.abs(dot(d, nrm))
-                r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-                fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-                leaf_scale = (mat4[:, 0:3] * mat4[:, 3:4]
-                              * (1.0 - fres)[:, None])
-                pass_leaf = ok & is_leaf_mat
-                scale = jnp.where(pass_leaf[:, None], scale * leaf_scale,
-                                  scale)
-                opaque = ok & ~is_leaf_mat
-                dark = jnp.max(scale, axis=-1) < 0.01
-                blocked = blocked | opaque | (pass_leaf & dark)
-            else:
-                blocked = blocked | ok
-            scale = jnp.where(blocked[:, None], 0.0, scale)
+        scale, blocked = _leaf_shadow(scene, with_leaf, d, tt, uu, vv, ok,
+                                      tid, raw, row, scale, blocked)
 
         direct = new_direct
         top = jnp.where(blocked, 0, top)
@@ -294,3 +366,94 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
             jnp.ones((n, 3), jnp.float32), o, d, inv_d, max_t, skip_tri)
     out = _compacted_while(step, init, n)
     return out[5]
+
+
+def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
+    """Mixed-mode traversal: closest-hit lanes and any-hit shadow lanes in
+    ONE wavefront loop (ROADMAP perf item 1).
+
+    Integrators that defer NEE resolution by one bounce have both the next
+    closest ray and the previous bounce's shadow ray in hand at once; tracing
+    them as a single 2N wavefront averages the tail lengths of the two
+    populations (straggler compaction then keeps the active fraction high)
+    and halves the number of while-loop cascades per bounce.
+
+    Per lane, `is_shadow` selects semantics:
+      False — closest-hit: t_lim is the initial t_best; returns Hit fields.
+      True  — any-hit with MAT_LEAF transmission (BVHShadowRay,
+              integratorUtilities.cuh:188-288): t_lim is max_t; returns
+              `scale` (1 clear / 0 occluded / transmission product).
+
+    Returns (Hit, scale) — Hit rows meaningful on closest lanes, scale rows
+    on shadow lanes.
+    """
+    n = o.shape[0]
+    t_lim = jnp.broadcast_to(jnp.asarray(t_lim, jnp.float32), (n,))
+    if skip_tri is None:
+        skip_tri = jnp.full((n,), -1, jnp.int32)
+    inv_d = safe_inv_dir(d)
+    table = scene.bvh8_table
+    lt = getattr(scene, 'bvh8_leaf_tris', 4)
+    with_leaf = scene.has_leaf_materials
+    leaf_bit = jnp.int32(1 << 30)
+
+    direct0 = jnp.zeros((n,), jnp.int32)
+    if active is not None:
+        direct0 = jnp.where(active, direct0, -1)
+    top0 = jnp.zeros((n,), jnp.int32)
+    stack0 = jnp.zeros((n, STACK_D), jnp.int32)
+
+    def step(flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
+             o, d, inv_d, skip_tri, is_shadow):
+        use_direct = direct >= 0
+        popped, stack, top_after = _pop(stack, top)
+        entry = jnp.where(use_direct, direct, popped)
+        top = jnp.where(use_direct, top, top_after)
+
+        valid = entry >= 0
+        is_leaf = valid & ((entry & leaf_bit) != 0)
+        is_node = valid & ~is_leaf
+        rowid = jnp.where(valid, entry & ~leaf_bit, 0)
+        row = table[rowid]  # THE gather [N,64]
+
+        # ---- inner node: closest lanes benefit from the near-first
+        # descent order; shadow lanes ride along (order-agnostic)
+        new_direct, pm, pmask = _node_stage(row, o, inv_d, t_cut, is_node)
+        stack, top, lost = _push(stack, top, pm, pmask)
+        lostc = jnp.where(lost, lostc | 1, lostc)
+
+        # ---- leaf: batched leaf-triangle test, mode-split bookkeeping
+        tt, uu, vv, ok, tid, raw = _leaf_tris(row, o, d, t_cut, skip_tri,
+                                              is_leaf, lt)
+        okc = ok & ~is_shadow[:, None]
+        t_cut, tri, u, v = _leaf_closest(tt, uu, vv, okc, tid,
+                                         t_cut, tri, u, v)
+        blocked = jnp.zeros_like(entry, dtype=bool)
+        scale, blocked = _leaf_shadow(scene, with_leaf, d, tt, uu, vv,
+                                      ok & is_shadow[:, None], tid, raw,
+                                      row, scale, blocked)
+
+        direct = new_direct
+        top = jnp.where(blocked, 0, top)
+        direct = jnp.where(blocked, -1, direct)
+        lostc = jnp.where(blocked, 0, lostc)  # occlusion is final
+        # restart lost lanes from the root: closest keeps its tightened
+        # t_cut; shadow resets scale to 1 (re-accumulates — idempotent)
+        drained = (direct < 0) & (top <= 0)
+        restarts = lostc >> 1
+        redo = drained & ((lostc & 1) == 1) & (restarts < MAX_RESTARTS)
+        direct = jnp.where(redo, 0, direct)
+        scale = jnp.where((redo & is_shadow)[:, None], 1.0, scale)
+        lostc = jnp.where(redo, (restarts + 1) << 1, lostc)
+        flag = jnp.where((direct >= 0) | (top > 0), 1, -1).astype(jnp.int32)
+        return (flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
+                o, d, inv_d, skip_tri, is_shadow)
+
+    init = (jnp.where(direct0 >= 0, 1, -1).astype(jnp.int32), direct0,
+            stack0, top0, jnp.zeros((n,), jnp.int32),
+            t_lim, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.ones((n, 3), jnp.float32),
+            o, d, inv_d, skip_tri, is_shadow)
+    out = _compacted_while(step, init, n)
+    return Hit(t=out[5], tri=out[6], u=out[7], v=out[8]), out[9]

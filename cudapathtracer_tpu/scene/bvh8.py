@@ -1,28 +1,48 @@
-"""BVH8: 8-wide BVH collapsed from the binary SAH tree.
+"""BVH8: 8-wide BVH collapsed from the binary SAH tree (CBVH layout).
 
-Why: threaded binary traversal costs ONE row gather per visited node, and on
-TPU the gather is the dominant per-step cost (~µs-scale per wavefront) while
-VPU math is nearly free. An 8-wide node tests all 8 child AABBs from a
-single gathered row, pruning subtrees without visiting them — ~3-4x fewer
-gathers per ray. The price is per-lane stack state, which is kept as wide
-[N, D] arrays manipulated with one-hot masks (pure VPU, no narrow slices).
+Why 8-wide: threaded binary traversal costs ONE row gather per visited node,
+and on TPU the gather is the dominant per-step cost (~4.4 ns/lane/row on
+v5e) while VPU math is nearly free. An 8-wide node tests all 8 child AABBs
+from a single gathered row, pruning subtrees without visiting them — ~3-4x
+fewer gathers per ray. The price is per-lane stack state, which is kept as
+wide [N, D] arrays manipulated with one-hot masks (pure VPU, no narrow
+slices).
 
-Unified table layout (float32, [M8 + L, 64]):
+Why sibling-contiguous ("compressed BVH") rows: all children of a node
+occupy CONSECUTIVE table rows, so a node stores one `child_base` int and an
+8-bit `leaf_mask` instead of 8 child pointers — the traversal's near-far
+ordering then sorts a SINGLE packed int key per child slot (tmin bits |
+leaf flag | slot) and reconstructs each child's row as `child_base + slot`
+by arithmetic. That removes two thirds of the sort-network traffic, which
+profiling showed was the largest non-gather cost of a traversal step
+(~27%). Zero space overhead: every row is still some node's child, rows are
+simply emitted in sibling blocks (BFS order, root = row 0).
 
-  inner node row r < num_nodes:
+Unified table layout (float32, [R, W], W = row_width(leaf_tris)):
+
+  inner node row:
     [0:48]  child AABBs grouped by coordinate for wide slab tests:
-            minx[8], miny[8], minz[8], maxx[8], maxy[8], maxz[8]
-    [48:56] child meta (int32 bitcast): -1 empty; row index of an inner
-            child; or (leaf_row | LEAF_BIT) for leaf children
-    [56:64] pad
+            minx[8], miny[8], minz[8], maxx[8], maxy[8], maxz[8];
+            empty slots carry a degenerate box (min=max=+inf), never hit
+    [48]    child_base (int32 bitcast): table row of the slot-0 child;
+            slot i lives at child_base + i
+    [49]    leaf_mask (int32 bitcast): bit i set = child i is a leaf row
+    [50:]   pad
 
-  leaf row r >= num_nodes (up to LEAF_TRIS triangles):
-    [0:36]  triangles v0,e1,e2 x LEAF_TRIS(=4)
-    [36:40] triangle ids (int32 bitcast; bit30 = leaf-material flag; -1 pad)
-    [40:64] pad
+  leaf row (up to `leaf_tris` triangles):
+    [0:9L]     triangles v0,e1,e2 (9 floats each)
+    [9L:10L]   triangle ids (int32 bitcast; bit30 = leaf-material flag;
+               -1 pad)
+    [10L:]     pad
+
+Whether a row is a node or a leaf is carried in the traversal entry (bit 30
+of the pushed row index), never looked up.
 
 Children keep the binary builder's in-order layout, so every collapsed
-subtree's triangle range is contiguous in the permuted order.
+subtree's triangle range is contiguous in the permuted order. The collapse
+expands the child with the largest surface area first (greedy area-weighted
+flattening of the binary SAH tree, replacing deviceCode's per-thread binary
+stack walk, integratorUtilities.cuh:84-186).
 """
 
 from __future__ import annotations
@@ -32,15 +52,31 @@ from dataclasses import dataclass
 import numpy as np
 
 LEAF_BIT = 1 << 30
-LEAF_TRIS = 4
-ROW_W = 64
+LEAF_TRIS = 4   # default leaf capacity (rows stay 64 floats wide)
+
+# Empty child slots carry a degenerate AABB with min = max = +inf: for any
+# direction-sign combination the slab test then yields tmin=+inf (fails
+# tmin < t_best) or tmax=-inf (fails tmax > 0) — a plain inverted box would
+# FALSELY HIT when negative direction components swap the min/max roles.
+_EMPTY_BOUND = np.inf
+
+
+def row_width(leaf_tris: int) -> int:
+    """Table row width for a leaf capacity: 9 floats/tri + 1 id/tri, node
+    rows need 50. Gather cost on v5e is per ROW and width-flat up to 64
+    floats (~1.6x at 128), so capacities >4 pay for themselves only if they
+    cut row visits by more than that (measured: they don't — 4 is the
+    default; the knob documents the experiment)."""
+    need = max(10 * leaf_tris, 50)
+    return 64 if need <= 64 else 128
 
 
 @dataclass
 class BVH8:
-    table: np.ndarray      # [R, 64] f32 (nodes then leaves)
+    table: np.ndarray      # [R, W] f32 (sibling-contiguous, root = row 0)
     num_nodes: int
     num_leaves: int
+    leaf_tris: int = LEAF_TRIS
 
 
 def _subtree_range(bvh, node):
@@ -61,18 +97,15 @@ def _area(bounds):
     return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
 
-def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> BVH8:
-    """Collapse the binary BVH into the unified BVH8 table."""
-    # Pass 1: decide BVH8 nodes + leaves via BFS from the binary root.
-    nodes: list[list] = []       # each: list of (binary_node, is_leaf8)
-    leaf_rows: list[tuple] = []  # (start, count)
-    node_of_binary: dict[int, int] = {}
-    pending = [0]
-    binary_of_node8: list[list] = []
+def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
+             leaf_tris: int = LEAF_TRIS) -> BVH8:
+    """Collapse the binary BVH into the sibling-contiguous BVH8 table."""
+    LT = leaf_tris
+    RW = row_width(leaf_tris)
 
     def expand(b):
         """Expand binary node b into up to 8 children (binary subtree roots
-        or leaf ranges <= LEAF_TRIS)."""
+        or leaf ranges <= LT triangles)."""
         children = [b]
         while len(children) < 8:
             # pick the expandable child with the largest surface area
@@ -80,7 +113,7 @@ def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> BVH8:
             for i, c in enumerate(children):
                 if bvh.leaf[c, 1] == 0:  # inner binary node
                     s, e = _subtree_range(bvh, c)
-                    if e - s > LEAF_TRIS:
+                    if e - s > LT:
                         a = _area(bvh.bounds[c])
                         if a > best_a:
                             best, best_a = i, a
@@ -91,60 +124,52 @@ def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> BVH8:
             children.insert(best, bvh.left[c])
         return children
 
-    while pending:
-        b = pending.pop()
-        if b in node_of_binary:
-            continue
-        node_of_binary[b] = len(binary_of_node8)
+    def make_leaf_row(s, e):
+        row = np.zeros(RW, np.float32)
+        ids = np.full(LT, -1, np.int32)
+        for k in range(e - s):
+            row[9 * k: 9 * k + 9] = tri_pack[s + k]
+            tid = np.int32(s + k)
+            if tri_is_leaf_mat[s + k]:
+                tid = np.int32(tid | LEAF_BIT)
+            ids[k] = tid
+        row[9 * LT:10 * LT] = ids.view(np.float32)
+        return row
+
+    # DFS emission: each processed node allocates one contiguous block of
+    # rows for its children; inner children are stacked with their assigned
+    # row, leaf children are written immediately. Depth-first block order
+    # clusters each subtree's rows, which keeps a coherent wavefront's row
+    # working set compact in HBM.
+    rows: dict[int, np.ndarray] = {}
+    cursor = 1                      # row 0 = root node row
+    queue = [(0, 0)]                # (binary node, table row)
+    num_nodes = num_leaves = 0
+    while queue:
+        b, my_row = queue.pop()
         children = expand(b)
-        binary_of_node8.append(children)
-        for c in children:
-            s, e = _subtree_range(bvh, c)
-            if e - s > LEAF_TRIS:
-                pending.append(c)
+        base = cursor
+        cursor += len(children)
+        num_nodes += 1
 
-    m8 = len(binary_of_node8)
-
-    # Pass 2: emit rows
-    rows = []
-    leaf_row_of_range: dict[tuple, int] = {}
-    leaf_rows_data = []
-
-    def leaf_row(s, e):
-        key = (s, e)
-        if key not in leaf_row_of_range:
-            leaf_row_of_range[key] = len(leaf_rows_data)
-            row = np.zeros(ROW_W, np.float32)
-            ids = np.full(LEAF_TRIS, -1, np.int32)
-            for k in range(e - s):
-                row[9 * k: 9 * k + 9] = tri_pack[s + k]
-                tid = np.int32(s + k)
-                if tri_is_leaf_mat[s + k]:
-                    tid = np.int32(tid | LEAF_BIT)
-                ids[k] = tid
-            row[36:40] = ids.view(np.float32)
-            leaf_rows_data.append(row)
-        return leaf_row_of_range[key]
-
-    for children in binary_of_node8:
-        row = np.zeros(ROW_W, np.float32)
-        meta = np.full(8, -1, np.int32)
+        row = np.zeros(RW, np.float32)
+        row[0:48] = _EMPTY_BOUND    # empty slots: degenerate box, never hit
+        leaf_mask = 0
         for i, c in enumerate(children):
-            b = bvh.bounds[c]
-            row[0 * 8 + i] = b[0]
-            row[1 * 8 + i] = b[1]
-            row[2 * 8 + i] = b[2]
-            row[3 * 8 + i] = b[3]
-            row[4 * 8 + i] = b[4]
-            row[5 * 8 + i] = b[5]
+            bb = bvh.bounds[c]
+            for ax in range(3):
+                row[ax * 8 + i] = bb[ax]
+                row[(3 + ax) * 8 + i] = bb[3 + ax]
             s, e = _subtree_range(bvh, c)
-            if e - s > LEAF_TRIS:
-                meta[i] = node_of_binary[c]
+            if e - s > LT:
+                queue.append((c, base + i))
             else:
-                meta[i] = np.int32(m8 + leaf_row(s, e)) | LEAF_BIT
-        row[48:56] = meta.view(np.float32)
-        rows.append(row)
+                leaf_mask |= 1 << i
+                rows[base + i] = make_leaf_row(s, e)
+                num_leaves += 1
+        row[48:50] = np.asarray([base, leaf_mask], np.int32).view(np.float32)
+        rows[my_row] = row
 
-    # leaf meta stored (m8 + local) at emit time; rows are nodes then leaves
-    table = np.stack(rows + leaf_rows_data).astype(np.float32)
-    return BVH8(table=table, num_nodes=m8, num_leaves=len(leaf_rows_data))
+    table = np.stack([rows[r] for r in range(cursor)]).astype(np.float32)
+    return BVH8(table=table, num_nodes=num_nodes, num_leaves=num_leaves,
+                leaf_tris=LT)

@@ -56,7 +56,7 @@ class Scene:
     tri_shadow: jax.Array   # [T, 16] f32 (dummy [1,16] when no leaf materials)
 
     # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
-    bvh8_table: jax.Array   # [R, 64] f32
+    bvh8_table: jax.Array   # [R, W] f32
 
     # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling) ---
     light_p0: jax.Array     # [L, 3]
@@ -79,6 +79,7 @@ class Scene:
     max_leaf_size: int = field(metadata=dict(static=True), default=2)
     has_leaf_materials: bool = field(metadata=dict(static=True), default=False)
     traversal: str = field(metadata=dict(static=True), default="bvh8")
+    bvh8_leaf_tris: int = field(metadata=dict(static=True), default=4)
 
     @property
     def num_triangles(self) -> int:
@@ -105,7 +106,8 @@ class Scene:
 def build_scene(mesh: MeshData, materials: list | MaterialTable,
                 textures: np.ndarray | None = None, max_leaf_size: int = 2,
                 use_native_bvh: bool = True,
-                traversal: str = "bvh8") -> tuple[Scene, bvh_mod.BVH]:
+                traversal: str = "bvh8",
+                bvh8_leaf_tris: int = 4) -> tuple[Scene, bvh_mod.BVH]:
     """Build the BVH and upload everything as a Scene pytree.
 
     Returns (scene, host_bvh) — the host BVH is kept for stats/tests.
@@ -172,7 +174,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
 
     from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
-    bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat)
+    bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat,
+                             leaf_tris=bvh8_leaf_tris)
 
     if tri_is_leaf_mat.any():
         t = tri_pack.shape[0]
@@ -213,6 +216,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         max_leaf_size=int(bvh.leaf[:, 1].max()),
         has_leaf_materials=bool(tri_is_leaf_mat.any()),
         traversal=traversal,
+        bvh8_leaf_tris=bvh8.leaf_tris,
     )
     return scene, bvh
 

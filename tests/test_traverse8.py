@@ -69,3 +69,33 @@ def test_bvh8_leaf_material_transmission():
     d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (n, 1))
     scale = np.asarray(traverse.shadow_factor(sc, o, d, 2.0))
     assert (scale > 0).all() and (scale < 1).all()  # attenuated, not blocked
+
+
+@pytest.mark.parametrize("mesh_fn", [builtin.cornell_with_blocks,
+                                     builtin.cornell_with_spheres])
+def test_fused_matches_separate(mesh_fn):
+    """trace_fused8 with interleaved closest/shadow lanes reproduces the
+    dedicated closest_hit8 / shadow_factor8 engines exactly."""
+    from cudapathtracer_tpu.ops.intersect import BIG_T
+
+    mesh = mesh_fn()
+    sc, _ = build_scene(mesh, builtin_materials(), traversal="bvh8")
+    o, d = rand_rays(512, 7)
+    is_shadow = jnp.asarray(np.random.RandomState(8).rand(512) < 0.5)
+    t_lim = jnp.where(is_shadow, 0.6, BIG_T)
+    active = jnp.asarray(np.random.RandomState(9).rand(512) < 0.9)
+
+    hit_f, scale_f = traverse.trace_fused(sc, o, d, t_lim, is_shadow,
+                                          active=active)
+    hit_s = traverse.closest_hit(sc, o, d, active=active & ~is_shadow)
+    scale_s = traverse.shadow_factor(sc, o, d, 0.6,
+                                     active=active & is_shadow)
+
+    mc = np.asarray(active & ~is_shadow)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri)[mc],
+                                  np.asarray(hit_s.tri)[mc])
+    np.testing.assert_allclose(np.asarray(hit_f.t)[mc],
+                               np.asarray(hit_s.t)[mc], rtol=1e-6)
+    ms = np.asarray(active & is_shadow)
+    np.testing.assert_allclose(np.asarray(scale_f)[ms],
+                               np.asarray(scale_s)[ms], atol=1e-6)
