@@ -79,7 +79,12 @@ def main():
         for c in range(nchunks):
             li, rays = step(s, c)
             accs[c] = accs[c] + li
-            rtot = rtot + rays   # stays on device — no per-sample sync
+            rtot = rtot + rays
+            # bounded in-flight queue: the axon tunnel deadlocks when tens
+            # of big dispatches are queued asynchronously (observed, round
+            # 1); one cheap scalar fetch per chunk keeps it to ~1 in flight
+            # at ~2% cost
+            _ = float(rays)
     img = np.concatenate([np.asarray(a) for a in accs])  # the real barrier
     dt = time.perf_counter() - t0
     total_rays = int(rtot)

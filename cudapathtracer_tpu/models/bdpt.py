@@ -163,20 +163,20 @@ def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
 
 
 def _bdpt_nee(scene, key, tag, ev, mat_e, albedo_e, prev_to_curr_local,
-              active):
+              active, ids=None):
     """BDPTnextEventEstimation (deviceCode.cu:622-748): area-measure light
     pdf, interpolated light normal, G clamp, shadow with the light triangle
     excluded. Returns dict of the quantities the s=1 weight needs."""
     n = ev["pt"].shape[0]
     num = max(scene.num_lights, 1)
     kk = jax.random.fold_in(key, tag)
-    ul = rng.uniform(kk, 0, (n,))
+    ul = rng.uniform_any(kk, 0, n, ids)
     li = jnp.minimum((ul * num).astype(jnp.int32), num - 1)
     a, b, c = scene.light_p0[li], scene.light_p1[li], scene.light_p2[li]
     tri = scene.light_tri[li]
     n3 = scene.tri_n[tri]
-    u = jnp.sqrt(rng.uniform(kk, 1, (n,)))
-    v = rng.uniform(kk, 2, (n,))
+    u = jnp.sqrt(rng.uniform_any(kk, 1, n, ids))
+    v = rng.uniform_any(kk, 2, n, ids)
     w0, w1, w2 = 1.0 - u, u * (1.0 - v), u * v
     p = w0[:, None] * a + w1[:, None] * b + w2[:, None] * c
     lnrm = normalize(w0[:, None] * n3[:, 0] + w1[:, None] * n3[:, 1]
@@ -223,10 +223,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     key_e = jax.random.fold_in(skey, 2)
     key_c = jax.random.fold_in(skey, 3)
     ones = jnp.ones((n,), jnp.float32)
+    pid = rng.pixel_ids(px, py)
 
     # --- light pass (vertices 0..light_depth-1, s up to light_depth) ---
     lbufs, lv0, rays_l = paths.generate_light_path(scene, key_l, n,
-                                                   cfg.light_depth)
+                                                   cfg.light_depth, ids=pid)
     fb = jnp.zeros((n, 3), jnp.float32)
     rays_s = jnp.int32(0)
     if cfg.light_trace:
@@ -234,7 +235,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     # --- eye pass ---
     ebufs, ev0, rays_e = paths.generate_eye_path(scene, camera, key_e, px, py,
-                                                 cfg.eye_depth)
+                                                 cfg.eye_depth, ids=pid)
 
     li = jnp.zeros((n, 3), jnp.float32)
     rays_c = jnp.int32(0)
@@ -303,7 +304,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             prev_to_curr_local = to_local(prev_to_curr, ev["n"])
             rays_c = rays_c + jnp.sum(do.astype(jnp.int32))
             ne = _bdpt_nee(scene, key_c, t, ev, mat_e, albedo_e,
-                           prev_to_curr_local, do)
+                           prev_to_curr_local, do, ids=pid)
 
             pdf_bsdf_sa = bsdf_ops.bsdf_pdf(mat_e, -prev_to_curr_local,
                                             ne["stl_local"], ones)

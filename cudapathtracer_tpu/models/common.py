@@ -55,13 +55,13 @@ class LightSample(NamedTuple):
     tri: jax.Array        # [N] permuted triangle index of the light
 
 
-def sample_light_point(scene, key, draw_base, n):
+def sample_light_point(scene, key, draw_base, n, ids=None):
     """Uniform light pick + area sample with the reference's sqrt warp:
     p = (1-u)a + u(1-v)b + u v c with u = sqrt(rand) (deviceCode.cu:107-115).
     """
-    ul = rng.uniform(key, draw_base + 0, (n,))
-    u = jnp.sqrt(rng.uniform(key, draw_base + 1, (n,)))
-    v = rng.uniform(key, draw_base + 2, (n,))
+    ul = rng.uniform_any(key, draw_base + 0, n, ids)
+    u = jnp.sqrt(rng.uniform_any(key, draw_base + 1, n, ids))
+    v = rng.uniform_any(key, draw_base + 2, n, ids)
     num = max(scene.num_lights, 1)
     idx = jnp.minimum((ul * num).astype(jnp.int32), num - 1)
     a = scene.light_p0[idx]
@@ -101,7 +101,7 @@ class NEESample(NamedTuple):
 
 
 def nee_sample(scene, key, draw_base, point, normal, wi_local,
-               mat, albedo, eta_i, active) -> NEESample:
+               mat, albedo, eta_i, active, ids=None) -> NEESample:
     """Light sample + unshadowed NEE contribution (deviceCode.cu:87-156
     minus the shadow ray, which the caller traces — possibly fused)."""
     n = point.shape[0]
@@ -111,7 +111,7 @@ def nee_sample(scene, key, draw_base, point, normal, wi_local,
                          jnp.zeros((n,), jnp.float32),
                          jnp.zeros((n,), bool))
 
-    ls = sample_light_point(scene, key, draw_base, n)
+    ls = sample_light_point(scene, key, draw_base, n, ids)
     stl = ls.point - point
     wi = normalize(stl)
     dist = jnp.sqrt(jnp.maximum(length_sq(stl), 0.0))
@@ -135,7 +135,7 @@ def nee_sample(scene, key, draw_base, point, normal, wi_local,
 
 
 def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
-                          mat, albedo, eta_i, active):
+                          mat, albedo, eta_i, active, ids=None):
     """One NEE shadow connection per lane (deviceCode.cu:87-156).
 
     Returns (contribution [N,3] — f*Le*cos/pdf*shadow, light_pdf [N],
@@ -143,7 +143,7 @@ def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
     MIS counter-weight).
     """
     ns = nee_sample(scene, key, draw_base, point, normal, wi_local, mat,
-                    albedo, eta_i, active)
+                    albedo, eta_i, active, ids)
     if scene.num_lights == 0:
         return ns.contrib, ns.light_pdf, ns.wo_local
     shadow = traverse.shadow_factor(scene, ns.origin, ns.dir, ns.max_t,

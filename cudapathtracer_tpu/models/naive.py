@@ -30,8 +30,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     """Trace one sample for pixels (px, py) [N]; returns radiance [N,3]."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
+    pid = rng.pixel_ids(px, py)
     o, d = camera.generate_rays(jax.random.fold_in(skey, 2 ** 20),
-                                px.astype(jnp.float32), py.astype(jnp.float32))
+                                px.astype(jnp.float32), py.astype(jnp.float32),
+                                ids=pid)
 
     def cond(s):
         depth, o, d, beta, li, alive, rays = s
@@ -56,7 +58,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # naive kernel passes etaI = etaT = 1 (deviceCode.cu:189)
         eta_i = jnp.ones((n,), jnp.float32)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
-            bkey, _D_BSDF, mat, albedo, -wi_local, info["backface"], eta_i)
+            bkey, _D_BSDF, mat, albedo, -wi_local, info["backface"], eta_i,
+            ids=pid)
 
         bad = (pdf <= 0.0) | (length_sq(f_val) < EPSILON)
         alive2 = alive & ~bad

@@ -64,7 +64,8 @@ class WalkStart(NamedTuple):
 
 
 def random_walk(scene, key, start: WalkStart, max_depth: int,
-                transport_mode: int, eta_vcm=None, first_vm_seed=None):
+                transport_mode: int, eta_vcm=None, first_vm_seed=None,
+                ids=None):
     """Walk vertices 1..max_depth-1. Returns (PathBuffers [max_depth-1, N],
     rays traced scalar). Vertex indices in the buffers are depth-1."""
     n = start.o.shape[0]
@@ -91,7 +92,7 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
         eta_i = jnp.ones((n,), jnp.float32)  # deviceCode.cu:851 "TEMPORARY"
         wi_local, f_val, pdf_sa = bsdf_ops.bsdf_sample(
             bkey, 0, mat, albedo, -wo_local, info["backface"], eta_i,
-            transport_mode)
+            transport_mode, ids=ids)
         # reverse pdf: scattering from here back toward the previous vertex
         pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, eta_i)
 
@@ -141,11 +142,13 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
     return out, carry[-1]
 
 
-def start_eye_walk(scene, camera, key, px, py) -> tuple[WalkStart, dict]:
+def start_eye_walk(scene, camera, key, px, py,
+                   ids=None) -> tuple[WalkStart, dict]:
     """Camera endpoint (generateEyePath head, deviceCode.cu:758-790).
     Returns (WalkStart, vertex0 dict for the connection pass)."""
     o, d = camera.generate_rays(jax.random.fold_in(key, 2 ** 20),
-                                px.astype(jnp.float32), py.astype(jnp.float32))
+                                px.astype(jnp.float32), py.astype(jnp.float32),
+                                ids=ids)
     n = o.shape[0]
     aspect = camera.width / camera.height
     plane_area = 4.0 * aspect * camera.fov_scale * camera.fov_scale
@@ -157,19 +160,19 @@ def start_eye_walk(scene, camera, key, px, py) -> tuple[WalkStart, dict]:
                      first_vc_scale=jnp.zeros((n,), jnp.float32)), v0
 
 
-def start_light_walk(scene, key, n) -> tuple[WalkStart, dict]:
+def start_light_walk(scene, key, n, ids=None) -> tuple[WalkStart, dict]:
     """Light endpoint (generateFirstLightPathVertex, deviceCode.cu:955-1020):
     uniform light pick, sqrt-warp area sample with INTERPOLATED normal,
     cosine emission; beta0 = Le*pi/pdf0. Returns (WalkStart, vertex0 dict)."""
-    ul = rng.uniform(key, 100, (n,))
+    ul = rng.uniform_any(key, 100, n, ids)
     num = max(scene.num_lights, 1)
     li = jnp.minimum((ul * num).astype(jnp.int32), num - 1)
     a, b, c = scene.light_p0[li], scene.light_p1[li], scene.light_p2[li]
     tri = scene.light_tri[li]
     n3 = scene.tri_n[tri]
 
-    u = jnp.sqrt(rng.uniform(key, 101, (n,)))
-    v = rng.uniform(key, 102, (n,))
+    u = jnp.sqrt(rng.uniform_any(key, 101, n, ids))
+    v = rng.uniform_any(key, 102, n, ids)
     w0, w1, w2 = (1.0 - u), u * (1.0 - v), u * v
     pt = w0[:, None] * a + w1[:, None] * b + w2[:, None] * c
     nrm = normalize(w0[:, None] * n3[:, 0] + w1[:, None] * n3[:, 1]
@@ -180,8 +183,8 @@ def start_light_walk(scene, key, n) -> tuple[WalkStart, dict]:
     le = scene.light_emission[li]
     beta0 = le * (PI / pdf0)[:, None]
 
-    u1 = rng.uniform(key, 103, (n,))
-    u2 = rng.uniform(key, 104, (n,))
+    u1 = rng.uniform_any(key, 103, n, ids)
+    u2 = rng.uniform_any(key, 104, n, ids)
     out_local = bsdf_ops.cosine_sample(u1, u2)
     out_world = to_world(out_local, nrm)
     cos_emit = jnp.abs(out_local[..., 2])
@@ -195,15 +198,17 @@ def start_light_walk(scene, key, n) -> tuple[WalkStart, dict]:
     return start, v0
 
 
-def generate_eye_path(scene, camera, key, px, py, max_depth: int):
-    start, v0 = start_eye_walk(scene, camera, key, px, py)
-    bufs, rays = random_walk(scene, key, start, max_depth, TRANSPORT_RADIANCE)
+def generate_eye_path(scene, camera, key, px, py, max_depth: int, ids=None):
+    start, v0 = start_eye_walk(scene, camera, key, px, py, ids)
+    bufs, rays = random_walk(scene, key, start, max_depth, TRANSPORT_RADIANCE,
+                             ids=ids)
     return bufs, v0, rays
 
 
 def generate_light_path(scene, key, n, max_depth: int, eta_vcm=None,
-                        first_vm_seed=None):
-    start, v0 = start_light_walk(scene, key, n)
+                        first_vm_seed=None, ids=None):
+    start, v0 = start_light_walk(scene, key, n, ids)
     bufs, rays = random_walk(scene, key, start, max_depth,
-                             TRANSPORT_IMPORTANCE, eta_vcm, first_vm_seed)
+                             TRANSPORT_IMPORTANCE, eta_vcm, first_vm_seed,
+                             ids=ids)
     return bufs, v0, rays

@@ -51,17 +51,62 @@ class _State(NamedTuple):
     eta_t: jax.Array
     ms_stack: jax.Array
     ms_top: jax.Array
+    pid: jax.Array             # [N] stable pixel ids (rng *_id streams)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "use_mis", "sample_environment"))
+_BOUNCE_COMPACT_FRAC = 4
+
+
+def _compacted_loop(cond, body, init: "_State", n: int, min_width: int):
+    """Bounce-level straggler compaction (mirrors ops/traverse.py
+    _compacted_while): run the bounce loop at full width only while the
+    live-path count exceeds n/FRAC, then gather survivors into a narrower
+    wavefront and recurse — dead lanes stop paying for shading, NEE and
+    RNG. Bit-transparent: all sampling is keyed by per-pixel ids
+    (utils/rng.py *_id streams), never by lane position."""
+    if n <= min_width:
+        return jax.lax.while_loop(cond, body, init)
+    m = n // _BOUNCE_COMPACT_FRAC
+
+    def cond1(s):
+        return cond(s) & (jnp.sum(s.alive.astype(jnp.int32)) > m)
+
+    s = jax.lax.while_loop(cond1, body, init)
+    # fill slots get an OUT-OF-RANGE index: their gathers clip to garbage
+    # (lane is marked dead) and their scatters are dropped — an in-range
+    # fill index would collide with a real live lane and could overwrite
+    # its update with a stale value (duplicate-scatter order is unspecified)
+    idx = jnp.nonzero(s.alive, size=m, fill_value=n)[0]
+    live = idx < n
+
+    def take(a):
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
+            return jnp.take(a, idx, axis=0, mode="clip")
+        return a
+    sub = _State(*(take(f) for f in s))
+    sub = sub._replace(alive=sub.alive & live)
+    out = _compacted_loop(cond, body, sub, m, min_width)
+
+    def put(a, b):
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
+            return a.at[idx].set(b, mode="drop")
+        return b   # scalars (rays, it) continue from the sub-loop
+    return _State(*(put(a, b) for a, b in zip(s, out)))
+
+
+@partial(jax.jit, static_argnames=("max_depth", "use_mis",
+                                   "sample_environment", "compact_min_width"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, use_mis: bool = True,
-                  sample_environment: bool = False):
+                  sample_environment: bool = False,
+                  compact_min_width: int = 8192):
     """Trace one full sample for pixels (px, py) [N] -> radiance [N,3]."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
+    pid = rng.pixel_ids(px, py)
     o, d = camera.generate_rays(jax.random.fold_in(skey, 2 ** 20),
-                                px.astype(jnp.float32), py.astype(jnp.float32))
+                                px.astype(jnp.float32), py.astype(jnp.float32),
+                                ids=pid)
     mats = scene.materials
     ms0 = common.MediumStack.make(n)
 
@@ -69,6 +114,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         return (s.it < HARD_DEPTH_CAP + 32) & jnp.any(s.alive)
 
     def body(s: _State):
+        pid = s.pid
         bkey = rng.bounce_key(skey, s.it)
         ms = common.MediumStack(s.ms_stack, s.ms_top)
         rays = s.rays + jnp.sum(s.alive.astype(jnp.int32))
@@ -142,7 +188,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             rays = rays + jnp.sum(do_nee.astype(jnp.int32))
             nee_c, light_pdf, wo_nee = common.next_event_estimation(
                 scene, bkey, _D_NEE, info["point"], normal, wi_local, mat,
-                albedo, eta_i, do_nee)
+                albedo, eta_i, do_nee, ids=pid)
             bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, wo_nee, eta_i)
             w_nee = common.power2_weight(light_pdf, bsdf_pdf_nee)
             li = li + jnp.where((do_nee & (light_pdf > EPSILON))[:, None],
@@ -150,7 +196,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # --- BSDF sampling (deviceCode.cu:476-479)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
-            bkey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i)
+            bkey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=pid)
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
         # medium stack push/pop on refraction through a true-hit boundary
@@ -177,7 +223,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # --- Russian roulette past maxDepth (deviceCode.cu:523-532)
         rr_zone = alive & (depth > max_depth + 1)
         p_surv = jnp.clip(luminance(beta), 0.05, 0.99)
-        u_rr = rng.uniform(bkey, _D_RR, (n,))
+        u_rr = rng.uniform_id(bkey, _D_RR, pid)
         killed = rr_zone & (u_rr > p_surv)
         beta = jnp.where((rr_zone & ~killed)[:, None], beta / p_surv[:, None],
                          beta)
@@ -186,7 +232,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         hit_nonspec = s.hit_nonspec | (alive & ~is_specular)
 
         return _State(rays, s.it + 1, depth, o, d, beta, li, alive, prev_pdf,
-                      hit_nonspec, prev_point, eta_i, eta_t, ms.stack, ms.top)
+                      hit_nonspec, prev_point, eta_i, eta_t, ms.stack, ms.top,
+                      s.pid)
 
     init = _State(
         rays=jnp.int32(0),
@@ -201,6 +248,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         prev_point=jnp.zeros((n, 3), jnp.float32),
         eta_i=jnp.full((n,), EPSILON, jnp.float32),
         eta_t=jnp.full((n,), EPSILON, jnp.float32),
-        ms_stack=ms0.stack, ms_top=ms0.top)
-    out = jax.lax.while_loop(cond, body, init)
+        ms_stack=ms0.stack, ms_top=ms0.top,
+        pid=pid)
+    out = _compacted_loop(cond, body, init, n, compact_min_width)
     return out.li, out.rays

@@ -148,6 +148,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     key_e = jax.random.fold_in(skey, 2)
     ones = jnp.ones((n,), jnp.float32)
     num_lights = max(scene.num_lights, 1)
+    pid = rng.pixel_ids(px, py)
 
     # progressive merge radius (util.cuh:415-418; r0 = sceneRadius * mult,
     # deviceCode.cu:3328)
@@ -157,11 +158,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     eta_vcm = n * PI * mr * mr
 
     # ---- light pass ----
-    start, lv0 = paths.start_light_walk(scene, key_l, n)
+    start, lv0 = paths.start_light_walk(scene, key_l, n, ids=pid)
     first_vm_seed = start.first_vc_scale / jnp.maximum(eta_vcm, 1e-30)
     lbufs, lrays = paths.random_walk(
         scene, key_l, start, cfg.light_depth + 1, 1,  # TRANSPORT_IMPORTANCE
-        eta_vcm=eta_vcm, first_vm_seed=first_vm_seed)
+        eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid)
 
     fb = jnp.zeros((n, 3), jnp.float32)
     rays_s = jnp.int32(0)
@@ -181,7 +182,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                                    mr, table)
 
     # ---- eye pass (on-the-fly walk + per-bounce connections/merge) ----
-    estart, _ = paths.start_eye_walk(scene, camera, key_e, px, py)
+    estart, _ = paths.start_eye_walk(scene, camera, key_e, px, py, ids=pid)
 
     def body(carry, depth):
         (o, d, thr, prev_pdf_sa, prev_cos, prev_pt, mstate, alive, prev_delta,
@@ -205,7 +206,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         g = prev_cos / d2p
 
         wi_local, f_val, pdf_sa = bsdf_ops.bsdf_sample(
-            bkey, 0, mat, albedo, -wo_local, info["backface"], ones, 0)
+            bkey, 0, mat, albedo, -wo_local, info["backface"], ones, 0,
+            ids=pid)
         pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, ones)
         valid = reached & (pdf_sa >= EPSILON)
 
@@ -240,7 +242,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         if cfg.nee and scene.num_lights > 0:
             rays = rays + jnp.sum(conn.astype(jnp.int32))
             ne = _bdpt_nee(scene, bkey, 7, ev, mat, albedo,
-                           prev_to_curr_local, conn)
+                           prev_to_curr_local, conn, ids=pid)
             pdf_bsdf_sa = bsdf_ops.bsdf_pdf(mat, -prev_to_curr_local,
                                             ne["stl_local"], ones)
             pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(ne["cos_light"]) / ne["d2"]

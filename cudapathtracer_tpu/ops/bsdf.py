@@ -316,16 +316,18 @@ def bsdf_pdf(mat, wi, wo, eta_i, transmission=None):
 
 
 def bsdf_sample(key, draw_base, mat, albedo, wi, backface, eta_i,
-                transport_mode=TRANSPORT_RADIANCE, transmission=None):
+                transport_mode=TRANSPORT_RADIANCE, transmission=None,
+                ids=None):
     """Sample wo for all lanes; returns (wo, f [N,3], pdf [N]).
 
     key/draw_base: rng stream position; consumes draws base..base+3.
+    `ids`: stable per-lane ids for layout-independent sampling.
     """
     n = wi.shape[0]
-    u_sel = rng.uniform(key, draw_base + 0, (n,))
-    u_t = rng.uniform(key, draw_base + 1, (n,))
-    u1 = rng.uniform(key, draw_base + 2, (n,))
-    u2 = rng.uniform(key, draw_base + 3, (n,))
+    u_sel = rng.uniform_any(key, draw_base + 0, n, ids)
+    u_t = rng.uniform_any(key, draw_base + 1, n, ids)
+    u1 = rng.uniform_any(key, draw_base + 2, n, ids)
+    u2 = rng.uniform_any(key, draw_base + 3, n, ids)
     t = mat.type
     trans = mat.transmission if transmission is None else transmission
 

@@ -78,14 +78,17 @@ class Camera:
                                 *cfg.cam_rot, cfg.cam_fov, cfg.cam_aperture,
                                 cfg.cam_focal_dist)
 
-    def generate_rays(self, key: jax.Array, px: jax.Array, py: jax.Array):
+    def generate_rays(self, key: jax.Array, px: jax.Array, py: jax.Array,
+                      ids=None):
         """Batched primary ray generation (objects.cuh:268-307).
 
         px, py: integer pixel coords [N]. Returns (origins [N,3], dirs [N,3]).
+        With `ids` (stable pixel ids), sampling is wavefront-layout
+        independent (utils/rng.py *_id streams).
         """
         n = px.shape[0]
-        jx = rng.uniform(key, 0, (n,)) - 0.5
-        jy = rng.uniform(key, 1, (n,)) - 0.5
+        jx = rng.uniform_any(key, 0, n, ids) - 0.5
+        jy = rng.uniform_any(key, 1, n, ids) - 0.5
         aspect = self.width / self.height
         u = (2.0 * (px + jx * self.aa_jitter) / self.width - 1.0) * aspect * self.fov_scale
         v = (2.0 * (py + jy * self.aa_jitter) / self.height - 1.0) * self.fov_scale
@@ -95,8 +98,8 @@ class Camera:
                  + self.forward * self.focal_dist)
 
         # lens disk sample (only effective when aperture > tiny)
-        r_rnd = rng.uniform(key, 2, (n,))
-        theta = 2.0 * math.pi * rng.uniform(key, 3, (n,))
+        r_rnd = rng.uniform_any(key, 2, n, ids)
+        theta = 2.0 * math.pi * rng.uniform_any(key, 3, n, ids)
         radius = self.aperture * jnp.sqrt(r_rnd)
         lens = (self.right * (radius * jnp.cos(theta))[:, None]
                 + self.up * (radius * jnp.sin(theta))[:, None])

@@ -113,7 +113,7 @@ def test_nested_dielectrics_medium_stack():
     mats[10] = dataclasses.replace(mats[10], absorption=(0.5, 0.1, 0.1))
     scene, _ = build_scene(mesh, mats)
     cam = Camera.pinhole((0.0, 0.0, 1.0), 12, 12, 0.0, 0.0, 0.0, 60.0)
-    img = render(unidirectional.render_sample, scene, cam, spp=6,
+    img = render(unidirectional.render_sample, scene, cam, spp=24,
                  max_depth=12)
     assert np.isfinite(img).all() and (img >= 0).all()
     assert img.mean() > 0.01
