@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--chunks", type=int, default=20,
                     help="split the wavefront into pixel chunks (memory cap; "
                     "~100k-lane chunks measured fastest on v5e)")
+    ap.add_argument("--mega", action="store_true",
+                    help="persistent mega-wavefront integrator "
+                    "(models/unidirectional_mega.py) over the whole frame")
+    ap.add_argument("--width", type=int, default=207360,
+                    help="mega wavefront lane count")
     args = ap.parse_args()
 
     # pay the remote-tunnel first-transfer initialization outside the timers
@@ -63,9 +68,20 @@ def main():
     pyc = [py[i * csz:(i + 1) * csz] for i in range(nchunks)]
     key = rng.base_key()
 
-    def step(s, c):
-        return unidirectional.render_sample(scene, cam, key, s, pxc[c],
-                                            pyc[c], max_depth=8)
+    if args.mega:
+        from cudapathtracer_tpu.models import unidirectional_mega
+        nchunks = 1
+        pxc, pyc = [px], [py]
+        csz = px.shape[0]
+
+        def step(s, c):
+            return unidirectional_mega.render_sample(
+                scene, cam, key, s, px, py, max_depth=8,
+                width=min(args.width, int(px.shape[0])))
+    else:
+        def step(s, c):
+            return unidirectional.render_sample(scene, cam, key, s, pxc[c],
+                                                pyc[c], max_depth=8)
 
     # warmup/compile; the device fetch forces real completion (the axon
     # tunnel's block_until_ready does not synchronize execution)

@@ -45,14 +45,13 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         hit = traverse.closest_hit(scene, o, d, active=alive)
-        info = traverse.interpolate_hit(scene, o, d, hit)
+        info, mat = traverse.shade_data(scene, o, d, hit)
         miss = alive & ~hit.valid
         li = li + jnp.where(miss[:, None],
                             beta * common.sample_sky(d, sample_environment), 0.0)
         alive = alive & hit.valid
 
         wi_local = to_local(d, info["normal"])
-        mat = scene.materials.gather(info["mat_id"])
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
 
         # naive kernel passes etaI = etaT = 1 (deviceCode.cu:189)

@@ -120,7 +120,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         rays = s.rays + jnp.sum(s.alive.astype(jnp.int32))
 
         hit = traverse.closest_hit(scene, s.o, s.d, active=s.alive)
-        info = traverse.interpolate_hit(scene, s.o, s.d, hit)
+        info, mat = traverse.shade_data(scene, s.o, s.d, hit)
         miss = s.alive & ~hit.valid
         li = s.li + jnp.where(miss[:, None],
                               s.beta * common.sample_sky(s.d, sample_environment),
@@ -131,7 +131,6 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         backface = info["backface"]
         normal = info["normal"]
         wi_local = to_local(s.d, normal)
-        mat = mats.gather(mat_id)
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
         is_specular = mat.is_specular
 

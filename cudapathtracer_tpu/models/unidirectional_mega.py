@@ -1,0 +1,360 @@
+"""Persistent mega-wavefront unidirectional path tracer.
+
+Same estimator as models/unidirectional.py (Li_unidirectional,
+deviceCode.cu:285-542: NEE + power-2 MIS, nested-dielectric priority
+stack, Beer-Lambert absorption, Russian roulette), reorganized around the
+measured v5e cost model:
+
+  * a random-row gather step costs a ~320 us latency floor REGARDLESS of
+    wavefront width — narrowing a wavefront (straggler compaction) barely
+    reduces step cost, so per-bounce and per-traversal lockstep tails burn
+    most of the machine (classic design: ~41 effective full-width steps
+    per closest call whose mean useful depth is ~12 rows);
+  * VPU math and keyed-RNG draws are cheap next to gathers.
+
+Design: ONE fixed-width lane machine. Every loop iteration advances a
+mixed closest/shadow BVH8 node-step for all lanes
+(ops/traverse8.make_fused_step). When enough lanes have drained their
+traversal, a TRANSITION block fires: it shades completed closest hits
+(one packed-row gather), resolves NEE shadows, advances paths, scatters
+finished paths' radiance into the per-pixel accumulator, and REFILLS dead
+lanes with fresh pixels from the queue — so the wavefront stays full of
+useful traversal work from the first pixel to the global drain. There are
+no per-bounce barriers and no per-call tails.
+
+Sampling is keyed by (pixel index, per-lane bounce counter) via the
+layout-independent id streams (utils/rng.py), so the image is independent
+of lane scheduling, wavefront width, and transition timing; it is a
+different (equally valid) noise realization than the classic integrator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cudapathtracer_tpu.models import common
+from cudapathtracer_tpu.ops import bsdf as bsdf_ops
+from cudapathtracer_tpu.ops import traverse
+from cudapathtracer_tpu.ops.intersect import BIG_T, safe_inv_dir
+from cudapathtracer_tpu.ops.traverse8 import (TravState, make_fused_step,
+                                              trav_idle, trav_start)
+from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils.math import (EPSILON, RAY_EPSILON,
+                                           length_sq, luminance, normalize,
+                                           to_local, to_world)
+
+HARD_DEPTH_CAP = 100   # deviceCode.cu:318
+LIT_CAP = HARD_DEPTH_CAP + 32
+# draw-id stride per path: ids2 = pid * _ID_STRIDE + lit must stay unique
+# and fit int32 -> frames up to ~11M pixels
+_ID_STRIDE = 191
+
+_D_NEE = 0
+_D_BSDF = 4
+_D_RR = 8
+
+
+class _MState(NamedTuple):
+    rays: jax.Array        # scalar i32
+    it: jax.Array          # scalar i32 loop counter
+    next_px: jax.Array     # scalar i32 pixel queue head
+    ts: TravState          # [W] traversal registers
+    o: jax.Array           # [W,3] current traversal ray
+    d: jax.Array
+    inv_d: jax.Array
+    is_shadow: jax.Array   # [W] bool traversal mode
+    pid: jax.Array         # [W] i32 pixel index into px/py; -1 = idle lane
+    lit: jax.Array         # [W] i32 per-lane bounce/draw counter
+    depth: jax.Array       # [W] i32 path depth (false hits do not advance)
+    beta: jax.Array        # [W,3]
+    li: jax.Array          # [W,3] current path radiance
+    path_alive: jax.Array  # [W] bool (false while flushing a final shadow)
+    prev_pdf: jax.Array
+    hit_nonspec: jax.Array
+    prev_point: jax.Array
+    eta_i: jax.Array
+    eta_t: jax.Array
+    ms_stack: jax.Array
+    ms_top: jax.Array
+    pending: jax.Array     # [W,3] unshadowed weighted NEE contribution
+    nxt_o: jax.Array       # [W,3] BSDF-sampled next ray (waits on shadow)
+    nxt_d: jax.Array
+    acc: jax.Array         # [P,3] per-pixel accumulated radiance
+
+
+@partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
+                                   "sample_environment", "steps_per_iter",
+                                   "service_frac"))
+def render_sample(scene, camera, base_key, sample_idx, px, py, *,
+                  max_depth: int, width: int = 0, use_mis: bool = True,
+                  sample_environment: bool = False,
+                  steps_per_iter: int = 4, service_frac: int = 6):
+    """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
+
+    width: lane count W of the persistent wavefront (0 = P, capped).
+    """
+    p_total = px.shape[0]
+    w = min(width or p_total, p_total)
+    skey = rng.sample_key(base_key, sample_idx)
+    cam_key = jax.random.fold_in(skey, 2 ** 20)
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    fstep = make_fused_step(scene)
+    mats = scene.materials
+    do_nee_stage = use_mis and scene.num_lights > 0
+    thresh = max(w // service_frac, 1)
+
+    def ids2(pid, lit):
+        return pid * _ID_STRIDE + lit
+
+    def transition(s: _MState) -> _MState:
+        ts = s.ts
+        drained = (ts.flag < 0) & (s.pid >= 0)
+        pid, lit, depth = s.pid, s.lit, s.depth
+        beta, li = s.beta, s.li
+        alive = s.path_alive
+        prev_pdf, hit_nonspec = s.prev_pdf, s.hit_nonspec
+        prev_point = s.prev_point
+        eta_i, eta_t = s.eta_i, s.eta_t
+        ms = common.MediumStack(s.ms_stack, s.ms_top)
+        pending, nxt_o, nxt_d = s.pending, s.nxt_o, s.nxt_d
+        rays = s.rays
+        did = ids2(pid, lit)
+
+        # ------ 1. resolve drained shadow lanes ---------------------------
+        sh_done = drained & s.is_shadow
+        li = li + jnp.where(sh_done[:, None], pending * ts.scale, 0.0)
+        pending = jnp.where(sh_done[:, None], 0.0, pending)
+        # alive shadow lanes continue with the stored BSDF ray
+        cont = sh_done & alive
+        dead = sh_done & ~alive
+
+        # ------ 2. shade drained closest lanes ----------------------------
+        cl_done = drained & ~s.is_shadow
+        hit = traverse.Hit(t=ts.t_cut, tri=jnp.where(cl_done, ts.tri, -1),
+                           u=ts.u, v=ts.v)
+        info, mat = traverse.shade_data(scene, s.o, s.d, hit)
+        miss = cl_done & ~hit.valid
+        li = li + jnp.where(miss[:, None],
+                            beta * common.sample_sky(s.d, sample_environment),
+                            0.0)
+        dead = dead | miss
+        hitv = cl_done & hit.valid
+
+        mat_id = info["mat_id"]
+        backface = info["backface"]
+        normal = info["normal"]
+        wi_local = to_local(s.d, normal)
+        albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        is_specular = mat.is_specular
+
+        # dominant medium + Beer (deviceCode.cu:345-369)
+        dom_id, dom_pri = common.dominant_medium(ms, mats.priority)
+        absorb = mats.absorption[dom_id]
+        att = jnp.exp(-absorb * hit.t[:, None])
+        beta = jnp.where((hitv & (hit.t > EPSILON))[:, None], beta * att,
+                         beta)
+
+        # boundary / priority logic (deviceCode.cu:372-432)
+        is_boundary = mat.boundary
+        true_hit = ~(is_boundary & (mat.priority > dom_pri)) | ~hitv
+        false_hit = hitv & ~true_hit
+
+        dom_ior = mats.ior[dom_id]
+        second = common.second_lowest_medium(ms, mats.priority, mat_id)
+        eta_t_exit = jnp.where(ms.top == 1, 1.0, mats.ior[second])
+        is_dielectric_hit = (hitv & true_hit & is_boundary
+                             & (mat.type == 2))
+        eta_i = jnp.where(is_dielectric_hit, dom_ior, eta_i)
+        eta_t = jnp.where(is_dielectric_hit,
+                          jnp.where(backface, eta_t_exit, mat.ior), eta_t)
+        non_boundary = hitv & ~is_boundary
+        eta_i = jnp.where(non_boundary, dom_ior, eta_i)
+
+        ms = common.stack_push(ms, mat_id, false_hit & ~backface)
+        ms = common.stack_remove(ms, mat_id, false_hit & backface)
+
+        # emission (deviceCode.cu:438-455)
+        emissive = length_sq(info["emission"]) > EPSILON
+        direct_view = (depth == 0) | ~hit_nonspec
+        shade = hitv & true_hit
+        add_direct = shade & emissive & direct_view
+        li = li + jnp.where(add_direct[:, None], beta * info["emission"], 0.0)
+
+        start_shadow = jnp.zeros_like(drained)
+        if use_mis:
+            tic = jnp.maximum(hit.tri, 0)
+            light_pdf_hit = common.nee_pdf(
+                scene, prev_point, info["point"],
+                scene.tri_n[tic, 0], scene.tri_area[tic])
+            w_bsdf = common.power2_weight(prev_pdf, light_pdf_hit)
+            add_mis = (shade & emissive & ~direct_view & ~is_specular
+                       & (light_pdf_hit > EPSILON))
+            li = li + jnp.where(add_mis[:, None],
+                                beta * info["emission"] * w_bsdf[:, None],
+                                0.0)
+
+        if do_nee_stage:
+            do_nee = shade & ~emissive & ~is_specular
+            ns = common.nee_sample(
+                scene, skey, _D_NEE, info["point"], normal, wi_local, mat,
+                albedo, eta_i, do_nee, ids=did)
+            bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, ns.wo_local,
+                                             eta_i)
+            w_nee = common.power2_weight(ns.light_pdf, bsdf_pdf_nee)
+            pending = jnp.where(ns.active[:, None],
+                                beta * ns.contrib * w_nee[:, None], pending)
+            start_shadow = ns.active
+            rays = rays + jnp.sum(ns.active.astype(jnp.int32))
+
+        # BSDF sampling (deviceCode.cu:476-479)
+        wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
+            skey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=did)
+        pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
+
+        refracted = wo_local[..., 2] < 0.0
+        ms = common.stack_push(ms, mat_id, shade & refracted & ~backface)
+        ms = common.stack_remove(ms, mat_id, shade & refracted & backface)
+
+        new_beta = beta * f_val * (jnp.abs(wo_local[..., 2]) / pdf)[:, None]
+        beta = jnp.where(shade[:, None], new_beta, beta)
+
+        wo_world = normalize(to_world(wo_local, normal))
+        side = jnp.where(wo_local[..., 2] > 0.0, 1.0, -1.0)
+        o_true = info["point"] + normal * (side * EPSILON)[:, None]
+        o_false = info["point"] + s.d * RAY_EPSILON
+        cand_o = jnp.where(shade[:, None], o_true, o_false)
+        cand_d = jnp.where(shade[:, None], wo_world, s.d)
+        nxt_o = jnp.where(hitv[:, None], cand_o, nxt_o)
+        nxt_d = jnp.where(hitv[:, None], cand_d, nxt_d)
+
+        prev_pdf = jnp.where(shade, pdf, prev_pdf)
+        prev_point = jnp.where(shade[:, None], info["point"], prev_point)
+        new_depth = depth + jnp.where(false_hit, 0, 1)
+        depth = jnp.where(hitv, new_depth, depth)
+
+        # Russian roulette past maxDepth (deviceCode.cu:523-532)
+        rr_zone = hitv & (depth > max_depth + 1)
+        p_surv = jnp.clip(luminance(beta), 0.05, 0.99)
+        u_rr = rng.uniform_id(skey, _D_RR, did)
+        killed = rr_zone & (u_rr > p_surv)
+        beta = jnp.where((rr_zone & ~killed)[:, None],
+                         beta / p_surv[:, None], beta)
+        hit_nonspec = jnp.where(hitv, hit_nonspec | (hitv & ~is_specular),
+                                hit_nonspec)
+        lane_dead = killed | (depth >= HARD_DEPTH_CAP) | (lit >= LIT_CAP)
+        path_on = hitv & ~lane_dead
+        alive = jnp.where(cl_done, path_on, alive)
+        # a killed/capped lane with a pending NEE shadow still flushes it
+        dead = dead | (cl_done & ~path_on & ~start_shadow)
+        lit = jnp.where(cl_done, lit + 1, lit)
+
+        # ------ 3. retire finished paths + refill from the pixel queue ----
+        acc = s.acc.at[jnp.where(dead, pid, p_total)].add(
+            jnp.where(dead[:, None], li, 0.0), mode="drop")
+        pid = jnp.where(dead, -1, pid)
+
+        want = (pid < 0) & (s.next_px < p_total)
+        rank = jnp.cumsum(want.astype(jnp.int32))
+        new_pid = s.next_px + rank - 1
+        got = want & (new_pid < p_total)
+        n_new = jnp.sum(got.astype(jnp.int32))
+        next_px = s.next_px + n_new
+        pid = jnp.where(got, new_pid, pid)
+        gp = jnp.where(got, new_pid, 0)
+        go, gd = camera.generate_rays(cam_key, pxf[gp], pyf[gp],
+                                      ids=ids2(jnp.where(got, new_pid, 0),
+                                               jnp.zeros_like(new_pid)))
+        # fresh path registers for refilled lanes
+        g2 = got[:, None]
+        li = jnp.where(g2, 0.0, li)
+        beta = jnp.where(g2, 1.0, beta)
+        depth = jnp.where(got, 0, depth)
+        lit = jnp.where(got, 0, lit)
+        alive = jnp.where(got, True, alive)
+        prev_pdf = jnp.where(got, EPSILON, prev_pdf)
+        hit_nonspec = jnp.where(got, False, hit_nonspec)
+        prev_point = jnp.where(g2, 0.0, prev_point)
+        eta_i = jnp.where(got, EPSILON, eta_i)
+        eta_t = jnp.where(got, EPSILON, eta_t)
+        ms = common.MediumStack(
+            jnp.where(g2 & jnp.ones((1, ms.stack.shape[1]), bool),
+                      0, ms.stack).astype(ms.stack.dtype),
+            jnp.where(got, 0, ms.top))
+        pending = jnp.where(g2, 0.0, pending)
+
+        # ------ 4. launch the next traversal per lane ---------------------
+        #   shadow first when NEE is pending; else the stored/new closest
+        go_shadow = start_shadow
+        go_closest = (got | cont
+                      | (cl_done & path_on & ~start_shadow))
+        o2 = jnp.where(go_shadow[:, None], ns.origin if do_nee_stage else s.o,
+                       jnp.where(got[:, None], go,
+                                 jnp.where((cont | cl_done)[:, None], nxt_o,
+                                           s.o)))
+        d2 = jnp.where(go_shadow[:, None], ns.dir if do_nee_stage else s.d,
+                       jnp.where(got[:, None], gd,
+                                 jnp.where((cont | cl_done)[:, None], nxt_d,
+                                           s.d)))
+        start_any = go_shadow | go_closest
+        t_lim = jnp.where(go_shadow,
+                          ns.max_t if do_nee_stage else BIG_T, BIG_T)
+        is_shadow = jnp.where(start_any, go_shadow, s.is_shadow)
+        ts = trav_start(ts, start_any, t_lim)
+        # drained lanes that launched nothing go idle
+        ts = ts._replace(flag=jnp.where(drained & ~start_any, -1, ts.flag))
+        rays = rays + jnp.sum(go_closest.astype(jnp.int32))
+
+        o2 = jnp.where(start_any[:, None], o2, s.o)
+        d2 = jnp.where(start_any[:, None], d2, s.d)
+        inv_d = jnp.where(start_any[:, None], safe_inv_dir(d2), s.inv_d)
+
+        return _MState(rays, s.it, next_px, ts, o2, d2, inv_d, is_shadow,
+                       pid, lit, depth, beta, li, alive, prev_pdf,
+                       hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
+                       ms.top, pending, nxt_o, nxt_d, acc)
+
+    def cond(s: _MState):
+        return (jnp.any(s.pid >= 0) | (s.next_px < p_total)) \
+            & (s.it < 1 << 26)
+
+    def body(s: _MState):
+        ts = s.ts
+        skip = jnp.full((w,), -1, jnp.int32)
+        for _ in range(steps_per_iter):
+            ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
+        s = s._replace(ts=ts, it=s.it + 1)
+        need = jnp.sum(((ts.flag < 0) & (s.pid >= 0)).astype(jnp.int32))
+        inflight = jnp.sum((ts.flag >= 0).astype(jnp.int32))
+        fire = (need >= thresh) | ((inflight == 0)
+                                   & ((need > 0) | (s.next_px < p_total)))
+        return jax.lax.cond(fire, transition, lambda x: x, s)
+
+    z3 = jnp.zeros((w, 3), jnp.float32)
+    ms0 = common.MediumStack.make(w)
+    init = _MState(
+        rays=jnp.int32(0), it=jnp.int32(0), next_px=jnp.int32(0),
+        ts=trav_idle(w),
+        o=z3, d=jnp.concatenate([jnp.ones((w, 1)), z3[:, :2]], axis=1),
+        inv_d=jnp.ones((w, 3), jnp.float32),
+        is_shadow=jnp.zeros((w,), bool),
+        pid=jnp.full((w,), -1, jnp.int32),
+        lit=jnp.zeros((w,), jnp.int32),
+        depth=jnp.zeros((w,), jnp.int32),
+        beta=jnp.ones((w, 3), jnp.float32),
+        li=z3,
+        path_alive=jnp.zeros((w,), bool),
+        prev_pdf=jnp.full((w,), EPSILON, jnp.float32),
+        hit_nonspec=jnp.zeros((w,), bool),
+        prev_point=z3,
+        eta_i=jnp.full((w,), EPSILON, jnp.float32),
+        eta_t=jnp.full((w,), EPSILON, jnp.float32),
+        ms_stack=ms0.stack, ms_top=ms0.top,
+        pending=z3, nxt_o=z3, nxt_d=jnp.ones((w, 3), jnp.float32),
+        acc=jnp.zeros((p_total, 3), jnp.float32))
+    out = jax.lax.while_loop(cond, body, init)
+    return out.acc, out.rays

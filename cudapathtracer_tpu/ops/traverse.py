@@ -298,6 +298,65 @@ def trace_fused(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
     return hit, scale
 
 
+def shade_data(scene, o, d, hit: Hit):
+    """ONE packed-row gather -> (info dict, per-lane MaterialTable rows).
+
+    Fused replacement for interpolate_hit + MaterialTable.gather: on v5e a
+    random-row gather costs a ~320 us latency floor regardless of width, so
+    the ~13 per-field gathers they issue dominate shading cost; the packed
+    Scene.tri_shade_row collapses them into one (layout in scene/scene.py).
+    """
+    from cudapathtracer_tpu.scene.materials import MaterialTable
+
+    tic = jnp.maximum(hit.tri, 0)
+    row = scene.tri_shade_row[tic]                      # THE gather [N,64]
+    w0 = 1.0 - hit.u - hit.v
+    n3 = row[:, 0:9].reshape(-1, 3, 3)
+    nrm = normalize(n3[:, 0] * w0[:, None] + n3[:, 1] * hit.u[:, None]
+                    + n3[:, 2] * hit.v[:, None])
+    backface = dot(nrm, d) > 0.0
+    nrm = jnp.where(backface[:, None], -nrm, nrm)
+    uv3 = row[:, 9:15].reshape(-1, 3, 2)
+    uv = (uv3[:, 0] * w0[:, None] + uv3[:, 1] * hit.u[:, None]
+          + uv3[:, 2] * hit.v[:, None])
+    ints = _i32(row[:, 18:21])
+    info = dict(
+        point=o + d * hit.t[:, None],
+        normal=nrm,
+        uv=uv,
+        emission=row[:, 15:18],
+        light_ind=ints[:, 0],
+        mat_id=ints[:, 1],
+        backface=backface,
+        valid=hit.valid,
+        t=hit.t,
+        tri=hit.tri,
+    )
+    flags = _i32(row[:, 33:36])
+    texi = _i32(row[:, 39:46])
+    mat = MaterialTable(
+        type=ints[:, 2],
+        albedo=row[:, 21:24],
+        roughness=row[:, 24],
+        eta=row[:, 25:28],
+        k=row[:, 28:31],
+        ior=row[:, 31],
+        transmission=row[:, 32],
+        is_specular=flags[:, 0] != 0,
+        boundary=flags[:, 1] != 0,
+        thin_walled=flags[:, 2] != 0,
+        absorption=row[:, 36:39],
+        priority=texi[:, 0],
+        tex_start=texi[:, 1],
+        tex_width=texi[:, 2],
+        tex_height=texi[:, 3],
+        trans_tex_start=texi[:, 4],
+        trans_tex_width=texi[:, 5],
+        trans_tex_height=texi[:, 6],
+    )
+    return info, mat
+
+
 def interpolate_hit(scene, o, d, hit: Hit):
     """Gather + interpolate shading data at hit points — the tail of
     BVHSceneIntersect (integratorUtilities.cuh:107-140).

@@ -15,6 +15,8 @@ dominant per-step cost on TPU, so this is the headline Mrays/s engine.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -368,43 +370,67 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     return out[5]
 
 
-def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
-    """Mixed-mode traversal: closest-hit lanes and any-hit shadow lanes in
-    ONE wavefront loop (ROADMAP perf item 1).
 
-    Integrators that defer NEE resolution by one bounce have both the next
-    closest ray and the previous bounce's shadow ray in hand at once; tracing
-    them as a single 2N wavefront averages the tail lengths of the two
-    populations (straggler compaction then keeps the active fraction high)
-    and halves the number of while-loop cascades per bounce.
+class TravState(NamedTuple):
+    """Per-lane mixed-mode traversal registers (make_fused_step). flag < 0
+    means the lane's traversal is drained (or was never started)."""
+    flag: jax.Array     # [N] i32: 1 in flight, -1 drained/idle
+    direct: jax.Array   # [N] i32 next entry (descend-direct), -1 none
+    stack: jax.Array    # [N, STACK_D] i32
+    top: jax.Array      # [N] i32
+    lostc: jax.Array    # [N] i32 pending-loss bit + restart count
+    t_cut: jax.Array    # [N] closest: running t_best; shadow: max_t
+    tri: jax.Array      # [N] i32 best hit (closest lanes)
+    u: jax.Array        # [N]
+    v: jax.Array        # [N]
+    scale: jax.Array    # [N,3] shadow transmission product
 
-    Per lane, `is_shadow` selects semantics:
-      False — closest-hit: t_lim is the initial t_best; returns Hit fields.
-      True  — any-hit with MAT_LEAF transmission (BVHShadowRay,
-              integratorUtilities.cuh:188-288): t_lim is max_t; returns
-              `scale` (1 clear / 0 occluded / transmission product).
 
-    Returns (Hit, scale) — Hit rows meaningful on closest lanes, scale rows
-    on shadow lanes.
-    """
-    n = o.shape[0]
-    t_lim = jnp.broadcast_to(jnp.asarray(t_lim, jnp.float32), (n,))
-    if skip_tri is None:
-        skip_tri = jnp.full((n,), -1, jnp.int32)
-    inv_d = safe_inv_dir(d)
+def trav_idle(n) -> TravState:
+    """Idle traversal registers (flag=-1 everywhere)."""
+    z = jnp.zeros((n,), jnp.float32)
+    return TravState(
+        flag=jnp.full((n,), -1, jnp.int32),
+        direct=jnp.full((n,), -1, jnp.int32),
+        stack=jnp.zeros((n, STACK_D), jnp.int32),
+        top=jnp.zeros((n,), jnp.int32),
+        lostc=jnp.zeros((n,), jnp.int32),
+        t_cut=jnp.full((n,), BIG_T, jnp.float32),
+        tri=jnp.full((n,), -1, jnp.int32),
+        u=z, v=z,
+        scale=jnp.ones((n, 3), jnp.float32))
+
+
+def trav_start(ts: TravState, mask, t_lim) -> TravState:
+    """(Re)start traversal from the root on `mask` lanes with fresh
+    registers; t_lim is the initial t_best (closest) / max_t (shadow)."""
+    sel = lambda a, b: jnp.where(mask, a, b)
+    return TravState(
+        flag=sel(1, ts.flag).astype(jnp.int32),
+        direct=sel(0, ts.direct).astype(jnp.int32),
+        stack=ts.stack,
+        top=sel(0, ts.top).astype(jnp.int32),
+        lostc=sel(0, ts.lostc).astype(jnp.int32),
+        t_cut=sel(t_lim, ts.t_cut),
+        tri=sel(-1, ts.tri).astype(jnp.int32),
+        u=sel(0.0, ts.u), v=sel(0.0, ts.v),
+        scale=jnp.where(mask[:, None], 1.0, ts.scale))
+
+
+def make_fused_step(scene):
+    """Build the one-node-step transition for mixed closest/shadow lanes.
+
+    Returns step(ts, o, d, inv_d, skip_tri, is_shadow) -> TravState. Lanes
+    with ts.flag < 0 are no-ops (they still ride the lockstep ops). The
+    mega-wavefront integrator embeds this step directly in its path loop;
+    trace_fused8 wraps it with the straggler-compacted while."""
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
     with_leaf = scene.has_leaf_materials
     leaf_bit = jnp.int32(1 << 30)
 
-    direct0 = jnp.zeros((n,), jnp.int32)
-    if active is not None:
-        direct0 = jnp.where(active, direct0, -1)
-    top0 = jnp.zeros((n,), jnp.int32)
-    stack0 = jnp.zeros((n, STACK_D), jnp.int32)
-
-    def step(flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
-             o, d, inv_d, skip_tri, is_shadow):
+    def step(ts: TravState, o, d, inv_d, skip_tri, is_shadow) -> TravState:
+        (flag, direct, stack, top, lostc, t_cut, tri, u, v, scale) = ts
         use_direct = direct >= 0
         popped, stack, top_after = _pop(stack, top)
         entry = jnp.where(use_direct, direct, popped)
@@ -446,14 +472,47 @@ def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
         scale = jnp.where((redo & is_shadow)[:, None], 1.0, scale)
         lostc = jnp.where(redo, (restarts + 1) << 1, lostc)
         flag = jnp.where((direct >= 0) | (top > 0), 1, -1).astype(jnp.int32)
-        return (flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
-                o, d, inv_d, skip_tri, is_shadow)
+        return TravState(flag, direct, stack, top, lostc, t_cut, tri, u, v,
+                         scale)
+    return step
 
-    init = (jnp.where(direct0 >= 0, 1, -1).astype(jnp.int32), direct0,
-            stack0, top0, jnp.zeros((n,), jnp.int32),
-            t_lim, jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-            jnp.ones((n, 3), jnp.float32),
-            o, d, inv_d, skip_tri, is_shadow)
+
+def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
+    """Mixed-mode traversal: closest-hit lanes and any-hit shadow lanes in
+    ONE wavefront loop (ROADMAP perf item 1).
+
+    Integrators that defer NEE resolution by one bounce have both the next
+    closest ray and the previous bounce's shadow ray in hand at once; tracing
+    them as a single 2N wavefront averages the tail lengths of the two
+    populations (straggler compaction then keeps the active fraction high)
+    and halves the number of while-loop cascades per bounce.
+
+    Per lane, `is_shadow` selects semantics:
+      False — closest-hit: t_lim is the initial t_best; returns Hit fields.
+      True  — any-hit with MAT_LEAF transmission (BVHShadowRay,
+              integratorUtilities.cuh:188-288): t_lim is max_t; returns
+              `scale` (1 clear / 0 occluded / transmission product).
+
+    Returns (Hit, scale) — Hit rows meaningful on closest lanes, scale rows
+    on shadow lanes.
+    """
+    n = o.shape[0]
+    t_lim = jnp.broadcast_to(jnp.asarray(t_lim, jnp.float32), (n,))
+    if skip_tri is None:
+        skip_tri = jnp.full((n,), -1, jnp.int32)
+    inv_d = safe_inv_dir(d)
+    fstep = make_fused_step(scene)
+
+    act = jnp.ones((n,), bool) if active is None else active
+    ts0 = trav_start(trav_idle(n), act, t_lim)
+
+    def step(flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
+             o, d, inv_d, skip_tri, is_shadow):
+        ts = TravState(flag, direct, stack, top, lostc, t_cut, tri, u, v,
+                       scale)
+        ts = fstep(ts, o, d, inv_d, skip_tri, is_shadow)
+        return (*ts, o, d, inv_d, skip_tri, is_shadow)
+
+    init = (*ts0, o, d, inv_d, skip_tri, is_shadow)
     out = _compacted_while(step, init, n)
     return Hit(t=out[5], tri=out[6], u=out[7], v=out[8]), out[9]

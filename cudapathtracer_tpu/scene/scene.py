@@ -55,6 +55,18 @@ class Scene:
     # [0:9] vertex normals a,b,c; [9:12] albedo; [12] transmission; [13] ior
     tri_shadow: jax.Array   # [T, 16] f32 (dummy [1,16] when no leaf materials)
 
+    # --- packed shading row: ONE [T,64] gather at a hit replaces the ~13
+    # separate gathers of interpolate_hit + MaterialTable.gather (each
+    # random-row gather pays a ~320 us latency floor on v5e regardless of
+    # width, so gather COUNT, not bytes, dominates shading cost).
+    # Layout (f32, ints/bools bitcast i32):
+    #   [0:9] n3 a,b,c  [9:15] uv3  [15:18] emission  [18] light_ind
+    #   [19] mat_id  [20] type  [21:24] albedo  [24] roughness  [25:28] eta
+    #   [28:31] k  [31] ior  [32] transmission  [33] is_specular
+    #   [34] boundary  [35] thin_walled  [36:39] absorption  [39] priority
+    #   [40:43] tex start/w/h  [43:46] trans_tex start/w/h  [46:64] pad
+    tri_shade_row: jax.Array  # [T, 64] f32
+
     # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
     bvh8_table: jax.Array   # [R, W] f32
 
@@ -172,6 +184,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     mat_types = np.asarray(table.type)
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
     node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
+    tri_shade_row = _pack_shade_rows(table, tri_n, tri_uv, tri_emission,
+                                     tri_light, tri_mat)
 
     from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
     bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat,
@@ -201,6 +215,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         node_links=jnp.asarray(bvh.links.reshape(-1, 2)),
         node_packed=jnp.asarray(node_packed),
         tri_shadow=jnp.asarray(tri_shadow),
+        tri_shade_row=jnp.asarray(tri_shade_row),
         bvh8_table=jnp.asarray(bvh8.table),
         light_p0=jnp.asarray(light_p0),
         light_p1=jnp.asarray(light_p1),
@@ -247,3 +262,37 @@ def _pack_nodes(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> np.nd
         ids[sel, j] = tid
     packed[:, 24 + 9 * k: 24 + 9 * k + k] = ids.view(np.float32)
     return packed
+
+
+def _pack_shade_rows(table, tri_n, tri_uv, tri_emission, tri_light,
+                     tri_mat) -> np.ndarray:
+    """Build Scene.tri_shade_row (see the field comment for the layout)."""
+    t = tri_mat.shape[0]
+    row = np.zeros((t, 64), np.float32)
+    iv = lambda a: np.asarray(a, np.int32).view(np.float32)
+    m = tri_mat
+    g = lambda name: np.asarray(getattr(table, name))[m]
+    row[:, 0:9] = tri_n.reshape(t, 9)
+    row[:, 9:15] = tri_uv.reshape(t, 6)
+    row[:, 15:18] = tri_emission
+    row[:, 18] = iv(tri_light)
+    row[:, 19] = iv(tri_mat)
+    row[:, 20] = iv(g("type"))
+    row[:, 21:24] = g("albedo")
+    row[:, 24] = g("roughness")
+    row[:, 25:28] = g("eta")
+    row[:, 28:31] = g("k")
+    row[:, 31] = g("ior")
+    row[:, 32] = g("transmission")
+    row[:, 33] = iv(g("is_specular").astype(np.int32))
+    row[:, 34] = iv(g("boundary").astype(np.int32))
+    row[:, 35] = iv(g("thin_walled").astype(np.int32))
+    row[:, 36:39] = g("absorption")
+    row[:, 39] = iv(g("priority"))
+    row[:, 40] = iv(g("tex_start"))
+    row[:, 41] = iv(g("tex_width"))
+    row[:, 42] = iv(g("tex_height"))
+    row[:, 43] = iv(g("trans_tex_start"))
+    row[:, 44] = iv(g("trans_tex_width"))
+    row[:, 45] = iv(g("trans_tex_height"))
+    return row

@@ -1,0 +1,80 @@
+"""Mega-wavefront unidirectional integrator (models/unidirectional_mega.py):
+statistical agreement with the classic integrator and schedule invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cudapathtracer_tpu.models import unidirectional, unidirectional_mega
+from cudapathtracer_tpu.scene import builtin
+from cudapathtracer_tpu.scene.camera import Camera
+from cudapathtracer_tpu.scene.materials import builtin_materials
+from cudapathtracer_tpu.scene.scene import build_scene
+from cudapathtracer_tpu.utils import rng
+
+
+def _accumulate(mod, scene, cam, px, py, spp, **kw):
+    key = rng.base_key()
+    acc = np.zeros((px.shape[0], 3), np.float32)
+    for s in range(spp):
+        li, _ = mod.render_sample(scene, cam, key, s, px, py, **kw)
+        acc += np.asarray(li)
+    return acc / spp
+
+
+def test_mega_matches_classic_statistically():
+    """Same estimator, different valid noise realization: the two
+    integrators' mean images must agree within Monte-Carlo noise."""
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 12, 12, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(12), jnp.arange(12))
+    px, py = px.ravel(), py.ravel()
+
+    a = _accumulate(unidirectional_mega, scene, cam, px, py, 24,
+                    max_depth=5, width=96)
+    b = _accumulate(unidirectional, scene, cam, px, py, 24, max_depth=5)
+    assert np.isfinite(a).all() and (a >= 0).all()
+    # global energy agreement is much tighter than per-pixel noise
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05
+    # self-calibrating per-pixel check: mega-vs-classic must not exceed the
+    # classic-vs-classic noise floor at the same spp (x1.3 slack)
+    key = rng.base_key()
+    c = np.zeros_like(b)
+    for s in range(100, 124):
+        li, _ = unidirectional.render_sample(scene, cam, key, s, px, py,
+                                             max_depth=5)
+        c += np.asarray(li)
+    c /= 24
+    rmse = float(np.sqrt(((a - b) ** 2).mean()))
+    noise = float(np.sqrt(((c - b) ** 2).mean()))
+    assert rmse < noise * 1.3, (rmse, noise)
+
+
+def test_mega_schedule_invariance():
+    """The image must not depend on the wavefront width / lane scheduling
+    (allclose: XLA may reassociate float math across different static
+    widths, but the sampling decisions are identical)."""
+    scene, _ = build_scene(builtin.cornell_with_spheres(), builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 8, 8, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(8), jnp.arange(8))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    l1, r1 = unidirectional_mega.render_sample(scene, cam, key, 5, px, py,
+                                               max_depth=6, width=64)
+    l2, r2 = unidirectional_mega.render_sample(scene, cam, key, 5, px, py,
+                                               max_depth=6, width=13)
+    assert int(r1) == int(r2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_mega_no_mis_mode():
+    """use_mis=False must run (naive-with-RR estimator) and stay finite."""
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 8, 8, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(8), jnp.arange(8))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    li, _ = unidirectional_mega.render_sample(scene, cam, key, 0, px, py,
+                                              max_depth=5, width=32,
+                                              use_mis=False)
+    a = np.asarray(li)
+    assert np.isfinite(a).all() and (a >= 0).all() and a.mean() > 0.01

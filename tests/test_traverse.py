@@ -96,3 +96,34 @@ def test_backface_flip(scene):
     nrm = np.asarray(info["normal"])
     assert (nrm[:, 1] > 0.99).all()
     assert not np.asarray(info["backface"]).any()
+
+
+def test_shade_data_matches_interpolate_hit():
+    """The packed single-gather shade row must reproduce interpolate_hit +
+    MaterialTable.gather exactly."""
+    import numpy as np
+    from cudapathtracer_tpu.scene import builtin
+    from cudapathtracer_tpu.scene.materials import builtin_materials
+    from cudapathtracer_tpu.scene.scene import build_scene
+    import dataclasses
+
+    mesh = builtin.cornell_with_spheres()
+    sc, _ = build_scene(mesh, builtin_materials())
+    rs = np.random.RandomState(3)
+    n = 512
+    o = jnp.asarray(rs.uniform(-0.4, 0.4, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rs.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    hit = traverse.closest_hit(sc, o, d)
+
+    info, mat = traverse.shade_data(sc, o, d, hit)
+    ref = traverse.interpolate_hit(sc, o, d, hit)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(info[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+    ref_mat = sc.materials.gather(jnp.maximum(hit.tri, 0) * 0
+                                  + ref["mat_id"])
+    for f in dataclasses.fields(type(mat)):
+        np.testing.assert_array_equal(np.asarray(getattr(mat, f.name)),
+                                      np.asarray(getattr(ref_mat, f.name)),
+                                      err_msg=f.name)
