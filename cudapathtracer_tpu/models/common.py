@@ -64,13 +64,18 @@ def sample_light_point(scene, key, draw_base, n, ids=None):
     v = rng.uniform_any(key, draw_base + 2, n, ids)
     num = max(scene.num_lights, 1)
     idx = jnp.minimum((ul * num).astype(jnp.int32), num - 1)
-    a = scene.light_p0[idx]
-    b = scene.light_p1[idx]
-    c = scene.light_p2[idx]
+    # all light columns in ONE lookup (one-hot for small light lists, row
+    # gather otherwise) — 7 separate gathers each paid the per-row floor
+    rows = jnp.concatenate([
+        scene.light_p0, scene.light_p1, scene.light_p2, scene.light_normal,
+        scene.light_emission, scene.light_area[:, None],
+        scene.light_tri.astype(jnp.float32)[:, None]], axis=1)
+    r = table_lookup(rows, idx) if num <= 64 else rows[idx]
+    a, b, c = r[:, 0:3], r[:, 3:6], r[:, 6:9]
     p = (1.0 - u)[:, None] * a + (u * (1.0 - v))[:, None] * b + (u * v)[:, None] * c
-    return LightSample(point=p, normal=scene.light_normal[idx],
-                       emission=scene.light_emission[idx],
-                       area=scene.light_area[idx], tri=scene.light_tri[idx])
+    return LightSample(point=p, normal=r[:, 9:12],
+                       emission=r[:, 12:15],
+                       area=r[:, 15], tri=r[:, 16].astype(jnp.int32))
 
 
 def nee_pdf(scene, from_point, light_point, light_normal, light_area):
@@ -215,6 +220,23 @@ def stack_remove(ms: MediumStack, mat_id, mask) -> MediumStack:
     return MediumStack(stack=stack, top=ms.top - found.astype(jnp.int32))
 
 
+
+def table_lookup(col, ids):
+    """col[ids] for a TINY table via one-hot contraction. A random gather
+    pays a per-row latency floor on v5e (~320 us at 100k lanes) regardless
+    of how small the table is; the one-hot form is pure VPU/MXU work and
+    fuses into neighbors. Use only when col.shape[0] is small (materials,
+    lights)."""
+    m = col.shape[0]
+    oh = ids[..., None] == jnp.arange(m, dtype=ids.dtype)
+    if col.ndim == 1:
+        return jnp.sum(jnp.where(oh, col, jnp.zeros_like(col)), axis=-1)
+    # select-sum, NOT tensordot: a one-hot matmul would ride the MXU in
+    # bf16 and truncate the table values (light positions!)
+    return jnp.sum(jnp.where(oh[..., None], col, jnp.zeros_like(col)),
+                   axis=-2)
+
+
 def dominant_medium(ms: MediumStack, priorities):
     """Lowest-priority-value medium on the stack (deviceCode.cu:345-356).
     priorities: full material priority column [M]. Returns (mat_id [N],
@@ -222,11 +244,12 @@ def dominant_medium(ms: MediumStack, priorities):
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     live = slots < ms.top[:, None]
-    pri = priorities[ms.stack]
+    pri = table_lookup(priorities, ms.stack)
     pri = jnp.where(live, pri, jnp.int32(2 ** 30))
     arg = jnp.argmin(pri, axis=1)
-    lane = jnp.arange(ms.stack.shape[0])
-    return ms.stack[lane, arg], pri[lane, arg]
+    oh = slots == arg[:, None]
+    pick = lambda a: jnp.sum(jnp.where(oh, a, 0), axis=1)
+    return pick(ms.stack), pick(pri)
 
 
 def second_lowest_medium(ms: MediumStack, priorities, exclude_mat):
@@ -238,10 +261,11 @@ def second_lowest_medium(ms: MediumStack, priorities, exclude_mat):
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     live = slots < ms.top[:, None]
-    pri = priorities[ms.stack]
+    pri = table_lookup(priorities, ms.stack)
     consider = live & (ms.stack != exclude_mat[:, None]) & (pri != 0)
     pri_m = jnp.where(consider, pri, jnp.int32(2 ** 30))
     arg = jnp.argmin(pri_m, axis=1)
-    lane = jnp.arange(ms.stack.shape[0])
-    none_found = pri_m[lane, arg] == 2 ** 30
-    return jnp.where(none_found, ms.stack[:, 0], ms.stack[lane, arg])
+    oh = slots == arg[:, None]
+    picked = jnp.sum(jnp.where(oh, ms.stack, 0), axis=1)
+    none_found = jnp.sum(jnp.where(oh, pri_m, 0), axis=1) == 2 ** 30
+    return jnp.where(none_found, ms.stack[:, 0], picked)

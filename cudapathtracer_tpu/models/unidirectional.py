@@ -136,7 +136,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # --- dominant medium + Beer-Lambert absorption (deviceCode.cu:345-369)
         dom_id, dom_pri = common.dominant_medium(ms, mats.priority)
-        absorb = mats.absorption[dom_id]
+        absorb = common.table_lookup(mats.absorption, dom_id)
         att = jnp.exp(-absorb * hit.t[:, None])
         beta = jnp.where((alive & (hit.t > EPSILON))[:, None], s.beta * att,
                          s.beta)
@@ -147,9 +147,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         false_hit = alive & ~true_hit
 
         # etaI/etaT for a true dielectric boundary hit
-        dom_ior = mats.ior[dom_id]
+        dom_ior = common.table_lookup(mats.ior, dom_id)
         second = common.second_lowest_medium(ms, mats.priority, mat_id)
-        eta_t_exit = jnp.where(ms.top == 1, 1.0, mats.ior[second])
+        eta_t_exit = jnp.where(ms.top == 1, 1.0,
+                               common.table_lookup(mats.ior, second))
         is_dielectric_hit = (alive & true_hit & is_boundary
                              & (mat.type == 2))  # MAT_SMOOTHDIELECTRIC
         eta_i = jnp.where(is_dielectric_hit, dom_ior, s.eta_i)
@@ -172,10 +173,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         if use_mis:
             # BSDF-sampled ray hit a light: weigh against the NEE pdf
-            tic = jnp.maximum(hit.tri, 0)
             light_pdf_hit = common.nee_pdf(
                 scene, s.prev_point, info["point"],
-                scene.tri_n[tic, 0], scene.tri_area[tic])
+                info["normal_a"], info["area"])
             w_bsdf = common.power2_weight(s.prev_pdf, light_pdf_hit)
             add_mis = (shade & emissive & ~direct_view & ~is_specular
                        & (light_pdf_hit > EPSILON))

@@ -61,6 +61,7 @@ _D_RR = 8
 class _MState(NamedTuple):
     rays: jax.Array        # scalar i32
     it: jax.Array          # scalar i32 loop counter
+    fires: jax.Array       # scalar i32 transition-firing counter
     next_px: jax.Array     # scalar i32 pixel queue head
     ts: TravState          # [W] traversal registers
     o: jax.Array           # [W,3] current traversal ray
@@ -88,11 +89,12 @@ class _MState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
                                    "sample_environment", "steps_per_iter",
-                                   "service_frac"))
+                                   "debug_counters"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
-                  steps_per_iter: int = 4, service_frac: int = 6):
+                  steps_per_iter: int = 12,
+                  debug_counters: bool = False):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
     width: lane count W of the persistent wavefront (0 = P, capped).
@@ -106,7 +108,6 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     fstep = make_fused_step(scene)
     mats = scene.materials
     do_nee_stage = use_mis and scene.num_lights > 0
-    thresh = max(w // service_frac, 1)
 
     def ids2(pid, lit):
         return pid * _ID_STRIDE + lit
@@ -154,7 +155,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # dominant medium + Beer (deviceCode.cu:345-369)
         dom_id, dom_pri = common.dominant_medium(ms, mats.priority)
-        absorb = mats.absorption[dom_id]
+        absorb = common.table_lookup(mats.absorption, dom_id)
         att = jnp.exp(-absorb * hit.t[:, None])
         beta = jnp.where((hitv & (hit.t > EPSILON))[:, None], beta * att,
                          beta)
@@ -164,9 +165,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         true_hit = ~(is_boundary & (mat.priority > dom_pri)) | ~hitv
         false_hit = hitv & ~true_hit
 
-        dom_ior = mats.ior[dom_id]
+        dom_ior = common.table_lookup(mats.ior, dom_id)
         second = common.second_lowest_medium(ms, mats.priority, mat_id)
-        eta_t_exit = jnp.where(ms.top == 1, 1.0, mats.ior[second])
+        eta_t_exit = jnp.where(ms.top == 1, 1.0,
+                               common.table_lookup(mats.ior, second))
         is_dielectric_hit = (hitv & true_hit & is_boundary
                              & (mat.type == 2))
         eta_i = jnp.where(is_dielectric_hit, dom_ior, eta_i)
@@ -187,10 +189,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         start_shadow = jnp.zeros_like(drained)
         if use_mis:
-            tic = jnp.maximum(hit.tri, 0)
             light_pdf_hit = common.nee_pdf(
                 scene, prev_point, info["point"],
-                scene.tri_n[tic, 0], scene.tri_area[tic])
+                info["normal_a"], info["area"])
             w_bsdf = common.power2_weight(prev_pdf, light_pdf_hit)
             add_mis = (shade & emissive & ~direct_view & ~is_specular
                        & (light_pdf_hit > EPSILON))
@@ -313,7 +314,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         d2 = jnp.where(start_any[:, None], d2, s.d)
         inv_d = jnp.where(start_any[:, None], safe_inv_dir(d2), s.inv_d)
 
-        return _MState(rays, s.it, next_px, ts, o2, d2, inv_d, is_shadow,
+        return _MState(rays, s.it, s.fires + 1, next_px, ts, o2, d2,
+                       inv_d, is_shadow,
                        pid, lit, depth, beta, li, alive, prev_pdf,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
                        ms.top, pending, nxt_o, nxt_d, acc)
@@ -323,21 +325,23 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             & (s.it < 1 << 26)
 
     def body(s: _MState):
+        # straight-line body: steps_per_iter traversal node-steps, then the
+        # transition UNCONDITIONALLY. A lax.cond around the transition
+        # measured ~4x the per-iteration cost: the conditional breaks the
+        # while-carry aliasing and the whole state (including the [P,3]
+        # accumulator) gets copied every iteration.
         ts = s.ts
         skip = jnp.full((w,), -1, jnp.int32)
         for _ in range(steps_per_iter):
             ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
         s = s._replace(ts=ts, it=s.it + 1)
-        need = jnp.sum(((ts.flag < 0) & (s.pid >= 0)).astype(jnp.int32))
-        inflight = jnp.sum((ts.flag >= 0).astype(jnp.int32))
-        fire = (need >= thresh) | ((inflight == 0)
-                                   & ((need > 0) | (s.next_px < p_total)))
-        return jax.lax.cond(fire, transition, lambda x: x, s)
+        return transition(s)
 
     z3 = jnp.zeros((w, 3), jnp.float32)
     ms0 = common.MediumStack.make(w)
     init = _MState(
-        rays=jnp.int32(0), it=jnp.int32(0), next_px=jnp.int32(0),
+        rays=jnp.int32(0), it=jnp.int32(0), fires=jnp.int32(0),
+        next_px=jnp.int32(0),
         ts=trav_idle(w),
         o=z3, d=jnp.concatenate([jnp.ones((w, 1)), z3[:, :2]], axis=1),
         inv_d=jnp.ones((w, 3), jnp.float32),
@@ -357,4 +361,6 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pending=z3, nxt_o=z3, nxt_d=jnp.ones((w, 3), jnp.float32),
         acc=jnp.zeros((p_total, 3), jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
+    if debug_counters:
+        return out.acc, out.rays, out.it, out.fires
     return out.acc, out.rays

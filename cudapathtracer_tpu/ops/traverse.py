@@ -331,6 +331,8 @@ def shade_data(scene, o, d, hit: Hit):
         valid=hit.valid,
         t=hit.t,
         tri=hit.tri,
+        normal_a=n3[:, 0],     # vertex-a normal: the reference's light
+        area=row[:, 46],       # normal + area for the NEE counter-pdf
     )
     flags = _i32(row[:, 33:36])
     texi = _i32(row[:, 39:46])

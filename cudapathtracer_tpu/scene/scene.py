@@ -64,7 +64,8 @@ class Scene:
     #   [19] mat_id  [20] type  [21:24] albedo  [24] roughness  [25:28] eta
     #   [28:31] k  [31] ior  [32] transmission  [33] is_specular
     #   [34] boundary  [35] thin_walled  [36:39] absorption  [39] priority
-    #   [40:43] tex start/w/h  [43:46] trans_tex start/w/h  [46:64] pad
+    #   [40:43] tex start/w/h  [43:46] trans_tex start/w/h  [46] tri area
+    #   [47:64] pad
     tri_shade_row: jax.Array  # [T, 64] f32
 
     # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
@@ -185,7 +186,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
     node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
     tri_shade_row = _pack_shade_rows(table, tri_n, tri_uv, tri_emission,
-                                     tri_light, tri_mat)
+                                     tri_light, tri_mat, area)
 
     from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
     bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat,
@@ -265,7 +266,7 @@ def _pack_nodes(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray) -> np.nd
 
 
 def _pack_shade_rows(table, tri_n, tri_uv, tri_emission, tri_light,
-                     tri_mat) -> np.ndarray:
+                     tri_mat, tri_area) -> np.ndarray:
     """Build Scene.tri_shade_row (see the field comment for the layout)."""
     t = tri_mat.shape[0]
     row = np.zeros((t, 64), np.float32)
@@ -295,4 +296,5 @@ def _pack_shade_rows(table, tri_n, tri_uv, tri_emission, tri_light,
     row[:, 43] = iv(g("trans_tex_start"))
     row[:, 44] = iv(g("trans_tex_width"))
     row[:, 45] = iv(g("trans_tex_height"))
+    row[:, 46] = tri_area
     return row

@@ -64,18 +64,60 @@ def lane_keys(key: jax.Array, draw_id: int, ids: jax.Array) -> jax.Array:
     return jax.vmap(lambda i: jax.random.fold_in(k, i))(ids)
 
 
+# Raw vectorized Threefry-2x32 (Salmon et al., the same primitive JAX's PRNG
+# uses). vmapping jax.random.fold_in + uniform per lane measured ~2.7 ms per
+# draw at 104k lanes on v5e — ~300x off the VPU roofline; this elementwise
+# formulation of the identical cipher runs the whole draw as ~50 wide
+# uint32 ops.
+
+_TF_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def _rotl(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """20-round Threefry-2x32 over [N] uint32 vectors -> (y0, y1)."""
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for i in range(5):
+        for r in _TF_ROT[i % 2]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def _draw_key(key: jax.Array, draw_id: int):
+    kd = jax.random.key_data(jax.random.fold_in(key, draw_id))
+    kd = kd.astype(jnp.uint32)
+    return kd[0], kd[1]
+
+
+def _bits_to_unit(bits):
+    # 23 mantissa bits -> [0, 1)
+    return (bits >> jnp.uint32(9)).astype(jnp.float32) * jnp.float32(2 ** -23)
+
+
 def uniform_id(key: jax.Array, draw_id: int, ids: jax.Array,
                dtype=jnp.float32) -> jax.Array:
     """One labelled uniform in [0,1) per lane, keyed by stable ids."""
-    ks = lane_keys(key, draw_id, ids)
-    return jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype=dtype))(ks)
+    k0, k1 = _draw_key(key, draw_id)
+    x0, x1 = _threefry2x32(k0, k1, ids.astype(jnp.uint32),
+                           jnp.zeros_like(ids, jnp.uint32))
+    return _bits_to_unit(x0).astype(dtype)
 
 
 def uniform2_id(key: jax.Array, draw_id: int, ids: jax.Array):
     """Two independent uniforms per lane, keyed by stable ids."""
-    ks = lane_keys(key, draw_id, ids)
-    u = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ks)
-    return u[..., 0], u[..., 1]
+    k0, k1 = _draw_key(key, draw_id)
+    x0, x1 = _threefry2x32(k0, k1, ids.astype(jnp.uint32),
+                           jnp.zeros_like(ids, jnp.uint32))
+    return _bits_to_unit(x0), _bits_to_unit(x1)
 
 
 def uniform_any(key: jax.Array, draw_id: int, n: int, ids=None,

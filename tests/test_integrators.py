@@ -110,14 +110,15 @@ def test_nested_dielectrics_medium_stack():
     mats = builtin_materials()
     # give water visible absorption so the Beer path is exercised
     import dataclasses
-    mats[10] = dataclasses.replace(mats[10], absorption=(0.5, 0.1, 0.1))
+    mats[10] = dataclasses.replace(mats[10], absorption=(3.0, 0.02, 0.02))
     scene, _ = build_scene(mesh, mats)
     cam = Camera.pinhole((0.0, 0.0, 1.0), 12, 12, 0.0, 0.0, 0.0, 60.0)
     img = render(unidirectional.render_sample, scene, cam, spp=24,
                  max_depth=12)
     assert np.isfinite(img).all() and (img >= 0).all()
     assert img.mean() > 0.01
-    # absorption is colored: red channel should be dimmer than green in the
-    # sphere region (absorption (0.5,0.1,0.1) kills red)
+    # absorption is colored: red channel must be clearly dimmer than green
+    # in the sphere region (absorption (3.0,0.02,0.02) kills red); the
+    # strong differential keeps this robust to RNG realization changes
     center = img.reshape(12, 12, 3)[5:8, 4:8]
-    assert center[..., 0].mean() < center[..., 1].mean()
+    assert center[..., 0].mean() < 0.9 * center[..., 1].mean()

@@ -85,3 +85,34 @@ def test_next_prime():
     assert vm.next_prime(10) == 11
     assert vm.next_prime(11) == 11
     assert vm.next_prime(90) == 97
+
+
+def test_raw_threefry_matches_jax():
+    """utils/rng's hand-vectorized Threefry-2x32 must equal JAX's own
+    implementation of the same cipher (it IS jax's PRNG primitive)."""
+    import numpy as np
+    from cudapathtracer_tpu.utils import rng as R
+    try:
+        from jax._src.prng import threefry_2x32 as jref
+    except ImportError:  # pragma: no cover - private API moved
+        import pytest
+        pytest.skip("jax private threefry not importable")
+    ks = np.asarray([123456789, 987654321], np.uint32)
+    xs = np.arange(64, dtype=np.uint32)
+    ref = np.asarray(jref(jnp.asarray(ks), jnp.stack([xs, xs + 7]).ravel()))
+    y0, y1 = R._threefry2x32(jnp.uint32(ks[0]), jnp.uint32(ks[1]),
+                             jnp.asarray(xs), jnp.asarray(xs + 7))
+    got = np.concatenate([np.asarray(y0), np.asarray(y1)])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_uniform_id_statistics():
+    import numpy as np
+    from cudapathtracer_tpu.utils import rng as R
+    key = R.base_key()
+    ids = jnp.arange(20000, dtype=jnp.int32)
+    u = np.asarray(R.uniform_id(key, 3, ids))
+    v = np.asarray(R.uniform_id(key, 4, ids))
+    assert (u >= 0).all() and (u < 1).all()
+    assert abs(u.mean() - 0.5) < 0.01 and abs(v.mean() - 0.5) < 0.01
+    assert abs(np.corrcoef(u, v)[0, 1]) < 0.02
