@@ -32,11 +32,12 @@ def main():
     ap.add_argument("--chunks", type=int, default=20,
                     help="split the wavefront into pixel chunks (memory cap; "
                     "~100k-lane chunks measured fastest on v5e)")
-    ap.add_argument("--mega", action="store_true",
-                    help="persistent mega-wavefront integrator "
-                    "(models/unidirectional_mega.py) over the whole frame")
-    ap.add_argument("--width", type=int, default=207360,
-                    help="mega wavefront lane count")
+    ap.add_argument("--classic", action="store_true",
+                    help="classic per-bounce wavefront integrator instead "
+                    "of the default persistent mega-wavefront")
+    ap.add_argument("--mega", action="store_true", help="(default)")
+    ap.add_argument("--width", type=int, default=103680,
+                    help="mega wavefront lane count (v5e sweet spot)")
     args = ap.parse_args()
 
     # pay the remote-tunnel first-transfer initialization outside the timers
@@ -68,7 +69,7 @@ def main():
     pyc = [py[i * csz:(i + 1) * csz] for i in range(nchunks)]
     key = rng.base_key()
 
-    if args.mega:
+    if not args.classic:
         from cudapathtracer_tpu.models import unidirectional_mega
         nchunks = 1
         pxc, pyc = [px], [py]

@@ -186,22 +186,34 @@ def power2_weight(p, q):
 
 
 class MediumStack(NamedTuple):
-    """[N, S] material-index stack + [N] top counter. Slot 0 is always AIR."""
+    """[N, S] medium stack + [N] top counter. Slot 0 is always AIR.
+
+    Entries are PACKED (priority << 10 | mat_id): the dominant-medium scan
+    is then a single min-reduce over the stack — looking priorities up per
+    slot cost an [N, S, M] one-hot contraction in every shade (profiled as
+    a top non-gather cost)."""
     stack: jax.Array
     top: jax.Array
 
     @staticmethod
-    def make(n: int, size: int = MEDIUM_STACK_SIZE) -> "MediumStack":
+    def make(n: int, air_priority=0,
+             size: int = MEDIUM_STACK_SIZE) -> "MediumStack":
         stack = jnp.zeros((n, size), jnp.int32)
+        air = (jnp.asarray(air_priority, jnp.int32) << 10).astype(jnp.int32)
+        stack = stack.at[:, 0].set(air)
         return MediumStack(stack=stack, top=jnp.ones((n,), jnp.int32))
 
 
-def stack_push(ms: MediumStack, mat_id, mask) -> MediumStack:
+def _pack_medium(mat_id, priority):
+    return (priority.astype(jnp.int32) << 10) | mat_id
+
+
+def stack_push(ms: MediumStack, mat_id, priority, mask) -> MediumStack:
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     can = mask & (ms.top < s)
     put = can[:, None] & (slots == ms.top[:, None])
-    stack = jnp.where(put, mat_id[:, None], ms.stack)
+    stack = jnp.where(put, _pack_medium(mat_id, priority)[:, None], ms.stack)
     return MediumStack(stack=stack, top=ms.top + can.astype(jnp.int32))
 
 
@@ -211,7 +223,7 @@ def stack_remove(ms: MediumStack, mat_id, mask) -> MediumStack:
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     live = (slots > 0) & (slots < ms.top[:, None])
-    match = (ms.stack == mat_id[:, None]) & live
+    match = ((ms.stack & 1023) == mat_id[:, None]) & live
     i_found = jnp.max(jnp.where(match, slots, -1), axis=1)
     found = (i_found >= 0) & mask
     shift_from = slots >= i_found[:, None]
@@ -237,22 +249,22 @@ def table_lookup(col, ids):
                    axis=-2)
 
 
-def dominant_medium(ms: MediumStack, priorities):
-    """Lowest-priority-value medium on the stack (deviceCode.cu:345-356).
-    priorities: full material priority column [M]. Returns (mat_id [N],
-    priority [N]); first-lowest wins on ties like the reference scan."""
+def dominant_medium(ms: MediumStack):
+    """Lowest-priority-value medium on the stack (deviceCode.cu:345-356):
+    ONE min-reduce over the packed entries. Ties: the packed min picks the
+    lowest mat_id among equal priorities — the reference scan picks the
+    deepest slot; both are stable, and equal-priority overlapping media is
+    already undefined behavior in the reference. Returns (mat_id [N],
+    priority [N])."""
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     live = slots < ms.top[:, None]
-    pri = table_lookup(priorities, ms.stack)
-    pri = jnp.where(live, pri, jnp.int32(2 ** 30))
-    arg = jnp.argmin(pri, axis=1)
-    oh = slots == arg[:, None]
-    pick = lambda a: jnp.sum(jnp.where(oh, a, 0), axis=1)
-    return pick(ms.stack), pick(pri)
+    packed = jnp.where(live, ms.stack, jnp.int32(2 ** 30))
+    best = jnp.min(packed, axis=1)
+    return best & 1023, best >> 10
 
 
-def second_lowest_medium(ms: MediumStack, priorities, exclude_mat):
+def second_lowest_medium(ms: MediumStack, exclude_mat):
     """The dominant medium pretending `exclude_mat` isn't on the stack —
     determines etaT when exiting the dominant medium (deviceCode.cu:397-420).
     Faithfully reproduces the reference quirk of also skipping priority-0
@@ -261,11 +273,9 @@ def second_lowest_medium(ms: MediumStack, priorities, exclude_mat):
     s = ms.stack.shape[1]
     slots = jnp.arange(s)[None, :]
     live = slots < ms.top[:, None]
-    pri = table_lookup(priorities, ms.stack)
-    consider = live & (ms.stack != exclude_mat[:, None]) & (pri != 0)
-    pri_m = jnp.where(consider, pri, jnp.int32(2 ** 30))
-    arg = jnp.argmin(pri_m, axis=1)
-    oh = slots == arg[:, None]
-    picked = jnp.sum(jnp.where(oh, ms.stack, 0), axis=1)
-    none_found = jnp.sum(jnp.where(oh, pri_m, 0), axis=1) == 2 ** 30
-    return jnp.where(none_found, ms.stack[:, 0], picked)
+    consider = (live & ((ms.stack & 1023) != exclude_mat[:, None])
+                & ((ms.stack >> 10) != 0))
+    packed = jnp.where(consider, ms.stack, jnp.int32(2 ** 30))
+    best = jnp.min(packed, axis=1)
+    none_found = best == 2 ** 30
+    return jnp.where(none_found, ms.stack[:, 0] & 1023, best & 1023)

@@ -108,7 +108,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                                 px.astype(jnp.float32), py.astype(jnp.float32),
                                 ids=pid)
     mats = scene.materials
-    ms0 = common.MediumStack.make(n)
+    ms0 = common.MediumStack.make(n, mats.priority[0])
 
     def cond(s: _State):
         return (s.it < HARD_DEPTH_CAP + 32) & jnp.any(s.alive)
@@ -135,7 +135,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         is_specular = mat.is_specular
 
         # --- dominant medium + Beer-Lambert absorption (deviceCode.cu:345-369)
-        dom_id, dom_pri = common.dominant_medium(ms, mats.priority)
+        dom_id, dom_pri = common.dominant_medium(ms)
         absorb = common.table_lookup(mats.absorption, dom_id)
         att = jnp.exp(-absorb * hit.t[:, None])
         beta = jnp.where((alive & (hit.t > EPSILON))[:, None], s.beta * att,
@@ -148,7 +148,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # etaI/etaT for a true dielectric boundary hit
         dom_ior = common.table_lookup(mats.ior, dom_id)
-        second = common.second_lowest_medium(ms, mats.priority, mat_id)
+        second = common.second_lowest_medium(ms, mat_id)
         eta_t_exit = jnp.where(ms.top == 1, 1.0,
                                common.table_lookup(mats.ior, second))
         is_dielectric_hit = (alive & true_hit & is_boundary
@@ -161,7 +161,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         eta_i = jnp.where(non_boundary, dom_ior, eta_i)
 
         # false hit: push (entering) / pop (exiting) the crossed boundary
-        ms = common.stack_push(ms, mat_id, false_hit & ~backface)
+        ms = common.stack_push(ms, mat_id, mat.priority,
+                               false_hit & ~backface)
         ms = common.stack_remove(ms, mat_id, false_hit & backface)
 
         # --- emission (deviceCode.cu:438-455)
@@ -200,7 +201,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # medium stack push/pop on refraction through a true-hit boundary
         refracted = wo_local[..., 2] < 0.0
-        ms = common.stack_push(ms, mat_id, shade & refracted & ~backface)
+        ms = common.stack_push(ms, mat_id, mat.priority,
+                               shade & refracted & ~backface)
         ms = common.stack_remove(ms, mat_id, shade & refracted & backface)
 
         new_beta = beta * f_val * (jnp.abs(wo_local[..., 2]) / pdf)[:, None]

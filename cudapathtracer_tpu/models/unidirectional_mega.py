@@ -154,7 +154,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         is_specular = mat.is_specular
 
         # dominant medium + Beer (deviceCode.cu:345-369)
-        dom_id, dom_pri = common.dominant_medium(ms, mats.priority)
+        dom_id, dom_pri = common.dominant_medium(ms)
         absorb = common.table_lookup(mats.absorption, dom_id)
         att = jnp.exp(-absorb * hit.t[:, None])
         beta = jnp.where((hitv & (hit.t > EPSILON))[:, None], beta * att,
@@ -166,7 +166,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         false_hit = hitv & ~true_hit
 
         dom_ior = common.table_lookup(mats.ior, dom_id)
-        second = common.second_lowest_medium(ms, mats.priority, mat_id)
+        second = common.second_lowest_medium(ms, mat_id)
         eta_t_exit = jnp.where(ms.top == 1, 1.0,
                                common.table_lookup(mats.ior, second))
         is_dielectric_hit = (hitv & true_hit & is_boundary
@@ -177,7 +177,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         non_boundary = hitv & ~is_boundary
         eta_i = jnp.where(non_boundary, dom_ior, eta_i)
 
-        ms = common.stack_push(ms, mat_id, false_hit & ~backface)
+        ms = common.stack_push(ms, mat_id, mat.priority,
+                               false_hit & ~backface)
         ms = common.stack_remove(ms, mat_id, false_hit & backface)
 
         # emission (deviceCode.cu:438-455)
@@ -218,7 +219,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
         refracted = wo_local[..., 2] < 0.0
-        ms = common.stack_push(ms, mat_id, shade & refracted & ~backface)
+        ms = common.stack_push(ms, mat_id, mat.priority,
+                               shade & refracted & ~backface)
         ms = common.stack_remove(ms, mat_id, shade & refracted & backface)
 
         new_beta = beta * f_val * (jnp.abs(wo_local[..., 2]) / pdf)[:, None]
@@ -338,7 +340,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         return transition(s)
 
     z3 = jnp.zeros((w, 3), jnp.float32)
-    ms0 = common.MediumStack.make(w)
+    ms0 = common.MediumStack.make(w, mats.priority[0])
     init = _MState(
         rays=jnp.int32(0), it=jnp.int32(0), fires=jnp.int32(0),
         next_px=jnp.int32(0),

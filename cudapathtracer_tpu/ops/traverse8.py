@@ -57,14 +57,21 @@ def _slab8(row, o, inv_d, t_best):
     return tmin8, hit8
 
 
-def _pop(stack, top):
-    """Pop the top entry per lane. Returns (entry [N], stack, top)."""
-    has = top > 0
-    top2 = jnp.maximum(top - 1, 0)
-    oh = jnp.arange(stack.shape[1], dtype=jnp.int32)[None, :] == top2[:, None]
-    entry = jnp.sum(jnp.where(oh, stack, 0), axis=1)
-    entry = jnp.where(has, entry, -1)
-    return entry, stack, jnp.where(has, top2, top)
+def _pop(stack, top, want):
+    """Pop the top entry on `want` lanes. Returns (entry [N], stack, top).
+
+    Top-at-column-0 discipline: the popped value is a FREE contiguous
+    slice and the shift is a contiguous masked copy. (A top-pointer stack
+    needs a one-hot reduction over [N,D] per pop, which profiling showed
+    costs as much as the row gather itself.) Unlike a pointer bump, the
+    shift MUTATES the stack, so the caller must pass the true pop
+    condition — lanes that keep their descend-direct entry must not
+    shift."""
+    has = want & (top > 0)
+    entry = jnp.where(has, stack[:, 0], -1)
+    shifted = jnp.concatenate([stack[:, 1:], stack[:, :1]], axis=1)
+    stack = jnp.where(has[:, None], shifted, stack)
+    return entry, stack, jnp.where(has, top - 1, top)
 
 
 _KEY_INVALID = 0x7FFFFFFF  # sorts last ascending; unreachable by real keys
@@ -100,8 +107,8 @@ def _node_stage(row, o, inv_d, t_cut, is_node):
     """Ordered CBVH node stage: slab-test all 8 children, sort a single
     packed key (tmin bits | leaf flag | slot) per slot, reconstruct child
     rows as child_base + slot. Returns (direct — nearest hit child entry or
-    -1, push_metas, push_masks — 7 deferred children, far->near, for
-    _push)."""
+    -1; deferred — 7 near-first deferred children; count — how many are
+    live, for _push_block)."""
     tmin8, hit8 = _slab8(row, o, inv_d, t_cut)
     cb = _i32(row[:, 48:50])
     base, leaf_mask = cb[:, 0], cb[:, 1]
@@ -119,46 +126,34 @@ def _node_stage(row, o, inv_d, t_cut, is_node):
     live = is_node[:, None] & hit8
     key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
     ks = _sort8_keys([key[:, i] for i in range(8)])
-    metas, masks = [], []
-    for k in ks:
+    metas = []
+    count = jnp.zeros_like(base)
+    for i, k in enumerate(ks):
         g = k != _KEY_INVALID
         meta = (base + (k & 7)) | ((k & 8) << 27)   # leaf bit 3 -> bit 30
         metas.append(jnp.where(g, meta, -1))
-        masks.append(g)
-    return metas[0], metas[1:][::-1], masks[1:][::-1]
+        if i > 0:
+            count = count + g.astype(jnp.int32)
+    return metas[0], metas[1:], count
 
 
-def _node_stage_anyorder(row, o, inv_d, t_cut, is_node):
-    """Unordered CBVH node stage for any-hit rays: no sort — descend the
-    first hit child, push the rest. Returns (direct, push_metas,
-    push_masks)."""
-    tmin8, hit8 = _slab8(row, o, inv_d, t_cut)
-    meta8, live = _child_meta8(row, is_node, hit8)
-    metas = [jnp.where(live[:, i], meta8[:, i], -1) for i in range(8)]
-    masks = [live[:, i] for i in range(8)]
-    direct = jnp.full_like(metas[0], -1)
-    for i in range(7, -1, -1):
-        direct = jnp.where(masks[i], metas[i], direct)
-    seen = jnp.zeros_like(masks[0])
-    push_masks = []
-    for i in range(8):
-        push_masks.append(masks[i] & seen)
-        seen = seen | masks[i]
-    return direct, metas[1:], push_masks[1:]
-
-
-def _push(stack, top, metas, masks):
-    """Sequential masked pushes. Returns (stack, top, lost) where lost marks
-    lanes that had to drop an entry (capacity) — callers restart those."""
-    slots = jnp.arange(stack.shape[1], dtype=jnp.int32)[None, :]
-    lost = jnp.zeros(top.shape, bool)
-    for meta, mask in zip(metas, masks):
-        can = mask & (top < stack.shape[1])
-        lost = lost | (mask & ~can)
-        oh = can[:, None] & (slots == top[:, None])
-        stack = jnp.where(oh, meta[:, None], stack)
-        top = top + can.astype(jnp.int32)
-    return stack, top, lost
+def _push_block(stack, top, deferred, count):
+    """Push `count[n]` of the (up to 7) NEAR-FIRST `deferred` entries per
+    lane in one block: shift the stack right by count via three masked
+    power-of-two shifts, then write the new entries into FIXED columns
+    0..count-1 — contiguous copies and column writes only, no one-hot
+    scatters. Overflow drops the DEEPEST entries (shifted off the end) and
+    flags `lost`; callers restart those lanes from the root."""
+    d_cols = stack.shape[1]
+    for bit in (4, 2, 1):
+        m = (count & bit) != 0
+        shifted = jnp.concatenate([stack[:, :bit], stack[:, :-bit]], axis=1)
+        stack = jnp.where(m[:, None], shifted, stack)
+    head = [jnp.where(i < count, deferred[i], stack[:, i]) for i in range(7)]
+    stack = jnp.concatenate([jnp.stack(head, axis=1), stack[:, 7:]], axis=1)
+    new_top = top + count
+    lost = new_top > d_cols
+    return stack, jnp.minimum(new_top, d_cols), lost
 
 
 def _leaf_tris(row, o, d, t_cut, skip_tri, is_leaf, lt):
@@ -181,16 +176,20 @@ def _leaf_tris(row, o, d, t_cut, skip_tri, is_leaf, lt):
 
 
 def _leaf_closest(tt, uu, vv, ok, tid, t_best, tri, u, v):
-    """Fold the row's best triangle hit into (t_best, tri, u, v) — wide
-    [N,4] reduction, ties resolved to the first slot."""
-    inf = jnp.float32(jnp.inf)
-    ttm = jnp.where(ok, tt, inf)
-    t_cand = jnp.min(ttm, axis=1)
-    hit = t_cand < inf
-    sel = (ttm == t_cand[:, None]) & ok
-    first = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
-    pick = lambda a: jnp.sum(jnp.where(first, a, 0), axis=1)
-    t_best = jnp.where(hit, t_cand, t_best)
+    """Fold the row's best triangle hit into (t_best, tri, u, v) via a
+    packed-key min (slot index in the low mantissa bits — unique winner,
+    no cumsum tie-break pass). Exact t ties resolve to the first slot like
+    the sequential reference loop."""
+    lt = tt.shape[1]
+    slots = jnp.arange(lt, dtype=jnp.int32)[None, :]
+    tb = jax.lax.bitcast_convert_type(jnp.maximum(tt, 0.0), jnp.int32)
+    mask_bits = jnp.int32(~3) if lt <= 4 else jnp.int32(~15)
+    key = jnp.where(ok, (tb & mask_bits) | slots, jnp.int32(_KEY_INVALID))
+    kmin = jnp.min(key, axis=1)
+    hit = kmin != _KEY_INVALID
+    sel = key == kmin[:, None]          # exactly one (slot bits unique)
+    pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
+    t_best = jnp.where(hit, pick(tt), t_best)
     tri = jnp.where(hit, pick(tid), tri)
     u = jnp.where(hit, pick(uu), u)
     v = jnp.where(hit, pick(vv), v)
@@ -257,9 +256,8 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     def step(flag, direct, stack, top, lostc, t_best, tri, u, v, o, d, inv_d,
              skip_tri):
         use_direct = direct >= 0
-        popped, stack, top_after = _pop(stack, top)
+        popped, stack, top = _pop(stack, top, ~use_direct)
         entry = jnp.where(use_direct, direct, popped)
-        top = jnp.where(use_direct, top, top_after)
 
         valid = entry >= 0
         is_leaf = valid & ((entry & leaf_bit) != 0)
@@ -271,8 +269,9 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
 
         # ---- inner-node branch: packed-key sort, descend nearest,
         # push deferred siblings far->near
-        new_direct, pm, pmask = _node_stage(row, o, inv_d, t_best, is_node)
-        stack, top, lost = _push(stack, top, pm, pmask)
+        new_direct, deferred, kpush = _node_stage(row, o, inv_d, t_best,
+                                                  is_node)
+        stack, top, lost = _push_block(stack, top, deferred, kpush)
         # encode pending loss in lostc's low bit; restarts in higher bits
         lostc = jnp.where(lost, lostc | 1, lostc)
 
@@ -325,9 +324,8 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     def step(flag, direct, stack, top, lostc, scale, o, d, inv_d, max_t,
              skip_tri):
         use_direct = direct >= 0
-        popped, stack, top_after = _pop(stack, top)
+        popped, stack, top = _pop(stack, top, ~use_direct)
         entry = jnp.where(use_direct, direct, popped)
-        top = jnp.where(use_direct, top, top_after)
 
         valid = entry >= 0
         is_leaf = valid & ((entry & leaf_bit) != 0)
@@ -335,10 +333,11 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
         row = table[rowid]
 
-        # any-hit: order irrelevant — descend the first hit child, push rest
-        new_direct, pm, pmask = _node_stage_anyorder(row, o, inv_d, max_t,
-                                                     is_node)
-        stack, top, lost = _push(stack, top, pm, pmask)
+        # ordered stage for any-hit too: the sort is ~38 cheap wide ops
+        # and the block push requires the near-first prefix order
+        new_direct, deferred, kpush = _node_stage(row, o, inv_d, max_t,
+                                                  is_node)
+        stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
         tt, uu, vv, ok, tid, raw = _leaf_tris(row, o, d, max_t, skip_tri,
@@ -432,9 +431,8 @@ def make_fused_step(scene):
     def step(ts: TravState, o, d, inv_d, skip_tri, is_shadow) -> TravState:
         (flag, direct, stack, top, lostc, t_cut, tri, u, v, scale) = ts
         use_direct = direct >= 0
-        popped, stack, top_after = _pop(stack, top)
+        popped, stack, top = _pop(stack, top, ~use_direct)
         entry = jnp.where(use_direct, direct, popped)
-        top = jnp.where(use_direct, top, top_after)
 
         valid = entry >= 0
         is_leaf = valid & ((entry & leaf_bit) != 0)
@@ -444,8 +442,9 @@ def make_fused_step(scene):
 
         # ---- inner node: closest lanes benefit from the near-first
         # descent order; shadow lanes ride along (order-agnostic)
-        new_direct, pm, pmask = _node_stage(row, o, inv_d, t_cut, is_node)
-        stack, top, lost = _push(stack, top, pm, pmask)
+        new_direct, deferred, kpush = _node_stage(row, o, inv_d, t_cut,
+                                                  is_node)
+        stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
         # ---- leaf: batched leaf-triangle test, mode-split bookkeeping
