@@ -89,11 +89,11 @@ class _MState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
                                    "sample_environment", "steps_per_iter",
-                                   "debug_counters"))
+                                   "mini_splits", "debug_counters"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
-                  steps_per_iter: int = 12,
+                  steps_per_iter: int = 12, mini_splits: int = 3,
                   debug_counters: bool = False):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
@@ -322,6 +322,26 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
                        ms.top, pending, nxt_o, nxt_d, acc)
 
+    def mini(s: _MState) -> _MState:
+        """Relaunch-only mini-transition: a drained NEE shadow lane already
+        holds its next closest ray (stored at shade), so resolving it needs
+        no gathers, draws or shading — a handful of [W] selects. Fired
+        between full transitions to cut drained-lane idling (shadow
+        traversals are ~half of all launches and shorter than closest
+        ones)."""
+        ts = s.ts
+        done_sh = (ts.flag < 0) & (s.pid >= 0) & s.is_shadow & s.path_alive
+        li = s.li + jnp.where(done_sh[:, None], s.pending * ts.scale, 0.0)
+        pending = jnp.where(done_sh[:, None], 0.0, s.pending)
+        ts = trav_start(ts, done_sh, jnp.full((w,), BIG_T, jnp.float32))
+        o = jnp.where(done_sh[:, None], s.nxt_o, s.o)
+        d = jnp.where(done_sh[:, None], s.nxt_d, s.d)
+        inv_d = jnp.where(done_sh[:, None], safe_inv_dir(d), s.inv_d)
+        is_shadow = s.is_shadow & ~done_sh
+        rays = s.rays + jnp.sum(done_sh.astype(jnp.int32))
+        return s._replace(ts=ts, o=o, d=d, inv_d=inv_d, is_shadow=is_shadow,
+                          li=li, pending=pending, rays=rays)
+
     def cond(s: _MState):
         return (jnp.any(s.pid >= 0) | (s.next_px < p_total)) \
             & (s.it < 1 << 26)
@@ -332,11 +352,17 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # measured ~4x the per-iteration cost: the conditional breaks the
         # while-carry aliasing and the whole state (including the [P,3]
         # accumulator) gets copied every iteration.
-        ts = s.ts
         skip = jnp.full((w,), -1, jnp.int32)
-        for _ in range(steps_per_iter):
-            ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
-        s = s._replace(ts=ts, it=s.it + 1)
+        msplit = max(1, min(mini_splits, steps_per_iter))
+        per_group = max(1, steps_per_iter // msplit)
+        for g in range(msplit):
+            ts = s.ts
+            for _ in range(per_group):
+                ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
+            s = s._replace(ts=ts)
+            if g + 1 < msplit:
+                s = mini(s)
+        s = s._replace(it=s.it + 1)
         return transition(s)
 
     z3 = jnp.zeros((w, 3), jnp.float32)
