@@ -98,8 +98,28 @@ def _area(bounds):
 
 
 def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
-             leaf_tris: int = LEAF_TRIS) -> BVH8:
-    """Collapse the binary BVH into the sibling-contiguous BVH8 table."""
+             leaf_tris: int = LEAF_TRIS, use_native: bool = True) -> BVH8:
+    """Collapse the binary BVH into the sibling-contiguous BVH8 table.
+
+    Dispatches to the C++ port (csrc/bvh8_collapse.cpp, bit-identical —
+    tested in tests/test_bvh.py) when available; collapse_py below is the
+    numpy oracle and fallback."""
+    if use_native:
+        from cudapathtracer_tpu.scene import native
+        res = native.native_bvh8_collapse(
+            bvh, np.ascontiguousarray(tri_pack, np.float32),
+            np.ascontiguousarray(tri_is_leaf_mat, np.uint8),
+            leaf_tris, row_width(leaf_tris))
+        if res is not None:
+            table, nn, nl = res
+            return BVH8(table=table, num_nodes=nn, num_leaves=nl,
+                        leaf_tris=leaf_tris)
+    return collapse_py(bvh, tri_pack, tri_is_leaf_mat, leaf_tris)
+
+
+def collapse_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
+                leaf_tris: int = LEAF_TRIS) -> BVH8:
+    """Pure-numpy collapse (oracle for the native port)."""
     LT = leaf_tris
     RW = row_width(leaf_tris)
 

@@ -29,15 +29,18 @@ def _compile_and_load():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        src = os.path.join(_CSRC, "bvh_builder.cpp")
+        srcs = sorted(
+            os.path.join(_CSRC, f) for f in os.listdir(_CSRC)
+            if f.endswith(".cpp"))
         out = os.path.join(_BUILD, "libtpt_native.so")
         try:
             if (not os.path.exists(out)
-                    or os.path.getmtime(out) < os.path.getmtime(src)):
+                    or any(os.path.getmtime(out) < os.path.getmtime(s)
+                           for s in srcs)):
                 os.makedirs(_BUILD, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", out, src],
+                     "-o", out, *srcs],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(out)
             lib.tpt_build_bvh.restype = ctypes.c_int
@@ -52,6 +55,19 @@ def _compile_and_load():
                 ctypes.POINTER(ctypes.c_int32),  # leaf [M,2]
                 ctypes.POINTER(ctypes.c_float),  # bounds [M,6]
                 ctypes.POINTER(ctypes.c_int32),  # perm
+            ]
+            lib.tpt_bvh8_collapse.restype = ctypes.c_int
+            lib.tpt_bvh8_collapse.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),   # left
+                ctypes.POINTER(ctypes.c_int32),   # right
+                ctypes.POINTER(ctypes.c_int32),   # leaf [M,2]
+                ctypes.POINTER(ctypes.c_float),   # bounds [M,6]
+                ctypes.c_int,                     # num_nodes
+                ctypes.POINTER(ctypes.c_float),   # tri_pack [T,9]
+                ctypes.POINTER(ctypes.c_uint8),   # tri_leaf_mat [T]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),   # table out
+                ctypes.POINTER(ctypes.c_int32),   # counts out [2]
             ]
             _lib = lib
         except Exception:
@@ -96,3 +112,37 @@ def native_build_bvh(centroids: np.ndarray, amins: np.ndarray,
         return None
     return (left[:m].copy(), right[:m].copy(), axis[:m].copy(),
             leaf[:m].copy(), bounds[:m].copy(), perm)
+
+
+def native_bvh8_collapse(bvh, tri_pack: np.ndarray,
+                         tri_is_leaf_mat: np.ndarray, leaf_tris: int,
+                         row_width: int):
+    """Run the C++ BVH8 collapse (exact port of scene/bvh8.collapse).
+    Returns (table [R, row_width] f32, num_nodes, num_leaves) or None."""
+    lib = _compile_and_load()
+    if lib is None:
+        return None
+    t = tri_pack.shape[0]
+    m = bvh.num_nodes
+    max_rows = 2 * t + 9
+    left = np.ascontiguousarray(bvh.left, np.int32)
+    right = np.ascontiguousarray(bvh.right, np.int32)
+    leaf = np.ascontiguousarray(bvh.leaf, np.int32)
+    bounds = np.ascontiguousarray(bvh.bounds, np.float32)
+    tp = np.ascontiguousarray(tri_pack, np.float32)
+    lm = np.ascontiguousarray(tri_is_leaf_mat, np.uint8)
+    table = np.empty((max_rows, row_width), np.float32)
+    counts = np.zeros(2, np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    rows = lib.tpt_bvh8_collapse(
+        left.ctypes.data_as(ip), right.ctypes.data_as(ip),
+        leaf.ctypes.data_as(ip), bounds.ctypes.data_as(fp), m,
+        tp.ctypes.data_as(fp), lm.ctypes.data_as(up),
+        t, int(leaf_tris), int(row_width), max_rows,
+        table.ctypes.data_as(fp), counts.ctypes.data_as(ip))
+    if rows <= 0:
+        return None
+    return table[:rows].copy(), int(counts[0]), int(counts[1])

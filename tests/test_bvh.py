@@ -106,3 +106,24 @@ def test_stats_shape():
     stats = bvh_mod.bvh_stats(bvh)
     assert stats["prims_in_leaves"] == mesh.num_triangles
     assert stats["num_nodes"] == bvh.num_nodes
+
+
+@pytest.mark.skipif(not native_available(), reason="no native lib")
+def test_native_bvh8_collapse_matches_python_oracle():
+    """csrc/bvh8_collapse.cpp must emit a bit-identical table to the
+    numpy collapse (scene/bvh8.collapse_py) including leaf-material id
+    flags, empty-slot sentinels and row order."""
+    from cudapathtracer_tpu.scene import bvh8
+
+    for n, seed, leaf_tris in [(500, 0, 4), (2000, 1, 4), (777, 2, 2)]:
+        bvh, _ = build(n, seed, leaf=2, native=False)
+        p0, p1, p2 = make_tris(n, seed)
+        p0, p1, p2 = p0[bvh.perm], p1[bvh.perm], p2[bvh.perm]
+        tp = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
+        lm = np.zeros(n, bool)
+        lm[::5] = True
+        a = bvh8.collapse_py(bvh, tp, lm, leaf_tris=leaf_tris)
+        b = bvh8.collapse(bvh, tp, lm, leaf_tris=leaf_tris)
+        assert b.table.shape == a.table.shape
+        assert np.array_equal(a.table.view(np.int32), b.table.view(np.int32))
+        assert (a.num_nodes, a.num_leaves) == (b.num_nodes, b.num_leaves)
