@@ -125,11 +125,12 @@ def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
             to_prev_local = to_local(v["wo"], v["n"])
             mat = scene.materials.gather(v["mat_id"])
             albedo = bsdf_ops.resolve_albedo(scene, mat, v["uv"])
+            trans = bsdf_ops.resolve_transmission(scene, mat, v["uv"])
             # f_eval(-currToPrev_local, toCamera_local) (deviceCode.cu:1363)
             light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local,
-                                      to_cam_local, ones)
+                                      to_cam_local, ones, transmission=trans)
             pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local,
-                                           ones)
+                                           ones, transmission=trans)
             w_light = pdf_trace_cam * (v["d_vcm"] + pdf_rev_sa * v["d_vc"])
 
         we = 1.0 / (plane_area * cos_cam ** 4)
@@ -163,7 +164,7 @@ def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
 
 
 def _bdpt_nee(scene, key, tag, ev, mat_e, albedo_e, prev_to_curr_local,
-              active, ids=None):
+              active, ids=None, trans_e=None):
     """BDPTnextEventEstimation (deviceCode.cu:622-748): area-measure light
     pdf, interpolated light normal, G clamp, shadow with the light triangle
     excluded. Returns dict of the quantities the s=1 weight needs."""
@@ -202,7 +203,7 @@ def _bdpt_nee(scene, key, tag, ev, mat_e, albedo_e, prev_to_curr_local,
 
     stl_local = to_local(stl_u, ev["n"])
     f_val = bsdf_ops.bsdf_f(mat_e, albedo_e, -prev_to_curr_local, stl_local,
-                            jnp.ones((n,)))
+                            jnp.ones((n,)), transmission=trans_e)
     le = scene.light_emission[li]
     contrib = shadow * f_val * le * (g / pdf_connect)[:, None]
 
@@ -266,6 +267,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             ebufs.is_delta, jprev, axis=0, keepdims=False)
         mat_e = scene.materials.gather(ev["mat_id"])
         albedo_e = bsdf_ops.resolve_albedo(scene, mat_e, ev["uv"])
+        trans_e = bsdf_ops.resolve_transmission(scene, mat_e, ev["uv"])
 
         # ---- s = 0: eye walk hit a light (deviceCode.cu:1552-1646) ----
         if cfg.naive:
@@ -304,17 +306,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             prev_to_curr_local = to_local(prev_to_curr, ev["n"])
             rays_c = rays_c + jnp.sum(do.astype(jnp.int32))
             ne = _bdpt_nee(scene, key_c, t, ev, mat_e, albedo_e,
-                           prev_to_curr_local, do, ids=pid)
+                           prev_to_curr_local, do, ids=pid, trans_e=trans_e)
 
             pdf_bsdf_sa = bsdf_ops.bsdf_pdf(mat_e, -prev_to_curr_local,
-                                            ne["stl_local"], ones)
+                                            ne["stl_local"], ones,
+                                            transmission=trans_e)
             pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(ne["cos_light"]) / ne["d2"]
             w_light = pdf_bsdf_area / jnp.maximum(ne["pdf_connect"], 1e-20)
 
             pdf_curr_rev_area = (ne["pdf_emit_sa"]
                                  * jnp.abs(ne["stl_local"][..., 2]) / ne["d2"])
             pdf_prev_rev_sa = bsdf_ops.bsdf_pdf(mat_e, ne["stl_local"],
-                                                -prev_to_curr_local, ones)
+                                                -prev_to_curr_local, ones,
+                                                transmission=trans_e)
             w_eye = pdf_curr_rev_area * (ev["d_vcm"]
                                          + pdf_prev_rev_sa * ev["d_vc"])
             weight = 1.0 / (1.0 + w_light + w_eye)
@@ -337,6 +341,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                           valid=pick(lbufs.valid))
                 mat_l = scene.materials.gather(lv["mat_id"])
                 albedo_l = bsdf_ops.resolve_albedo(scene, mat_l, lv["uv"])
+                trans_l = bsdf_ops.resolve_transmission(scene, mat_l,
+                                                        lv["uv"])
                 do = (ev["valid"] & lv["valid"] & ~ev["is_delta"]
                       & ~lv["is_delta"])
 
@@ -361,15 +367,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
                 # four reverse pdfs (map pdf_eval(A,B) -> bsdf_pdf(-A,B))
                 pdf_eye_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_l, -to_l_from_prev_loc, l2e_loc_l, ones)
+                    mat_l, -to_l_from_prev_loc, l2e_loc_l, ones,
+                    transmission=trans_l)
                 pdf_eye_rev_area = pdf_eye_rev_sa * cos_e / d2
                 pdf_bef_eye_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_e, -l2e_loc_e, to_prev_loc_e, ones)
+                    mat_e, -l2e_loc_e, to_prev_loc_e, ones,
+                    transmission=trans_e)
                 pdf_light_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_e, to_prev_loc_e, -l2e_loc_e, ones)
+                    mat_e, to_prev_loc_e, -l2e_loc_e, ones,
+                    transmission=trans_e)
                 pdf_light_rev_area = pdf_light_rev_sa * cos_l / d2
                 pdf_bef_light_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_l, l2e_loc_l, -to_l_from_prev_loc, ones)
+                    mat_l, l2e_loc_l, -to_l_from_prev_loc, ones,
+                    transmission=trans_l)
 
                 w_eye = pdf_eye_rev_area * (ev["d_vcm"]
                                             + pdf_bef_eye_rev_sa * ev["d_vc"])
@@ -381,9 +391,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 # f_eye  = f_eval(lightToEye@eye, toPrevFromEye@eye)
                 # f_light= f_eval(eyeToLight@light, toPrevFromLight@light)
                 f_eye = bsdf_ops.bsdf_f(mat_e, albedo_e, -l2e_loc_e,
-                                        to_prev_loc_e, ones)
+                                        to_prev_loc_e, ones,
+                                        transmission=trans_e)
                 f_light = bsdf_ops.bsdf_f(mat_l, albedo_l, l2e_loc_l,
-                                          -to_l_from_prev_loc, ones)
+                                          -to_l_from_prev_loc, ones,
+                                          transmission=trans_l)
 
                 g = jnp.minimum(cos_e * cos_l / d2, MAX_G_CONNECT)
                 contrib = (ev["beta"] * lv["beta"] * f_eye * f_light

@@ -106,7 +106,8 @@ class NEESample(NamedTuple):
 
 
 def nee_sample(scene, key, draw_base, point, normal, wi_local,
-               mat, albedo, eta_i, active, ids=None) -> NEESample:
+               mat, albedo, eta_i, active, ids=None,
+               transmission=None) -> NEESample:
     """Light sample + unshadowed NEE contribution (deviceCode.cu:87-156
     minus the shadow ray, which the caller traces — possibly fused)."""
     n = point.shape[0]
@@ -131,7 +132,8 @@ def nee_sample(scene, key, draw_base, point, normal, wi_local,
     cos_surf = jnp.abs(dot(normal, wi))
 
     wo_local = jnp.stack([dot(wi, t) for t in _frame3(normal)], axis=-1)
-    f_val = bsdf_ops.bsdf_f(mat, albedo, -wi_local, wo_local, eta_i)
+    f_val = bsdf_ops.bsdf_f(mat, albedo, -wi_local, wo_local, eta_i,
+                            transmission=transmission)
 
     contrib = f_val * ls.emission * (cos_surf / _safe(light_pdf))[:, None]
     gate = (light_pdf > EPSILON) & active
@@ -140,7 +142,8 @@ def nee_sample(scene, key, draw_base, point, normal, wi_local,
 
 
 def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
-                          mat, albedo, eta_i, active, ids=None):
+                          mat, albedo, eta_i, active, ids=None,
+                          transmission=None):
     """One NEE shadow connection per lane (deviceCode.cu:87-156).
 
     Returns (contribution [N,3] — f*Le*cos/pdf*shadow, light_pdf [N],
@@ -148,7 +151,7 @@ def next_event_estimation(scene, key, draw_base, point, normal, wi_local,
     MIS counter-weight).
     """
     ns = nee_sample(scene, key, draw_base, point, normal, wi_local, mat,
-                    albedo, eta_i, active, ids)
+                    albedo, eta_i, active, ids, transmission=transmission)
     if scene.num_lights == 0:
         return ns.contrib, ns.light_pdf, ns.wo_local
     shadow = traverse.shadow_factor(scene, ns.origin, ns.dir, ns.max_t,

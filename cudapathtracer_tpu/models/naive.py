@@ -53,12 +53,13 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         wi_local = to_local(d, info["normal"])
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
 
         # naive kernel passes etaI = etaT = 1 (deviceCode.cu:189)
         eta_i = jnp.ones((n,), jnp.float32)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
             bkey, _D_BSDF, mat, albedo, -wi_local, info["backface"], eta_i,
-            ids=pid)
+            ids=pid, transmission=trans)
 
         bad = (pdf <= 0.0) | (length_sq(f_val) < EPSILON)
         alive2 = alive & ~bad

@@ -83,6 +83,7 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
         wo_local = to_local(d, normal)           # incoming dir, z < 0
         mat = scene.materials.gather(info["mat_id"])
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
         cur_delta = mat.is_specular
 
         d2 = jnp.maximum(length_sq(info["point"] - prev_pt), RAY_EPSILON)
@@ -92,9 +93,10 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
         eta_i = jnp.ones((n,), jnp.float32)  # deviceCode.cu:851 "TEMPORARY"
         wi_local, f_val, pdf_sa = bsdf_ops.bsdf_sample(
             bkey, 0, mat, albedo, -wo_local, info["backface"], eta_i,
-            transport_mode, ids=ids)
+            transport_mode, ids=ids, transmission=trans)
         # reverse pdf: scattering from here back toward the previous vertex
-        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, eta_i)
+        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, eta_i,
+                                       transmission=trans)
 
         first = depth == 1
         first_d_vcm = 1.0 / jnp.maximum(pdf_fwd_area, 1e-20)

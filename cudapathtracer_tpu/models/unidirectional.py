@@ -132,6 +132,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         normal = info["normal"]
         wi_local = to_local(s.d, normal)
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
         is_specular = mat.is_specular
 
         # --- dominant medium + Beer-Lambert absorption (deviceCode.cu:345-369)
@@ -188,15 +189,17 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             rays = rays + jnp.sum(do_nee.astype(jnp.int32))
             nee_c, light_pdf, wo_nee = common.next_event_estimation(
                 scene, bkey, _D_NEE, info["point"], normal, wi_local, mat,
-                albedo, eta_i, do_nee, ids=pid)
-            bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, wo_nee, eta_i)
+                albedo, eta_i, do_nee, ids=pid, transmission=trans)
+            bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, wo_nee, eta_i,
+                                             transmission=trans)
             w_nee = common.power2_weight(light_pdf, bsdf_pdf_nee)
             li = li + jnp.where((do_nee & (light_pdf > EPSILON))[:, None],
                                 beta * nee_c * w_nee[:, None], 0.0)
 
         # --- BSDF sampling (deviceCode.cu:476-479)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
-            bkey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=pid)
+            bkey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=pid,
+            transmission=trans)
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
         # medium stack push/pop on refraction through a true-hit boundary

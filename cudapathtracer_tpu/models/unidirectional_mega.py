@@ -151,6 +151,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         normal = info["normal"]
         wi_local = to_local(s.d, normal)
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
         is_specular = mat.is_specular
 
         # dominant medium + Beer (deviceCode.cu:345-369)
@@ -204,9 +205,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             do_nee = shade & ~emissive & ~is_specular
             ns = common.nee_sample(
                 scene, skey, _D_NEE, info["point"], normal, wi_local, mat,
-                albedo, eta_i, do_nee, ids=did)
+                albedo, eta_i, do_nee, ids=did, transmission=trans)
             bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, ns.wo_local,
-                                             eta_i)
+                                             eta_i, transmission=trans)
             w_nee = common.power2_weight(ns.light_pdf, bsdf_pdf_nee)
             pending = jnp.where(ns.active[:, None],
                                 beta * ns.contrib * w_nee[:, None], pending)
@@ -215,7 +216,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # BSDF sampling (deviceCode.cu:476-479)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
-            skey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=did)
+            skey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=did,
+            transmission=trans)
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
         refracted = wo_local[..., 2] < 0.0

@@ -114,8 +114,9 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
         to_prev_local = to_local(pick(lbufs.wo), nrm)
         mat = scene.materials.gather(pick(lbufs.mat_id))
         albedo = bsdf_ops.resolve_albedo(scene, mat, pick(lbufs.uv))
+        trans = bsdf_ops.resolve_transmission(scene, mat, pick(lbufs.uv))
         light_f = bsdf_ops.bsdf_f(mat, albedo, to_prev_local, to_cam_local,
-                                  ones)
+                                  ones, transmission=trans)
 
         d2 = jnp.maximum(length_sq(to_cam), RAY_EPSILON)
         we = 1.0 / (plane_area * cos_c ** 4)
@@ -123,7 +124,8 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
         contrib = pick(lbufs.beta) * light_f * (g * we)[:, None] * shadow
 
         pdf_curr_rev_area = cos_l / (d2 * plane_area * cos_c ** 3)
-        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local, ones)
+        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, to_cam_local, to_prev_local,
+                                       ones, transmission=trans)
         w_light = pdf_curr_rev_area * (eta_vcm + pick(lbufs.d_vcm)
                                        + pdf_rev_sa * pick(lbufs.d_vc))
         weight = 1.0 / (1.0 + w_light)
@@ -199,6 +201,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         wo_local = to_local(d, normal)
         mat = scene.materials.gather(info["mat_id"])
         albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
+        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
         cur_delta = mat.is_specular
 
         d2p = jnp.maximum(length_sq(pos - prev_pt), RAY_EPSILON)
@@ -207,8 +210,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         wi_local, f_val, pdf_sa = bsdf_ops.bsdf_sample(
             bkey, 0, mat, albedo, -wo_local, info["backface"], ones, 0,
-            ids=pid)
-        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, ones)
+            ids=pid, transmission=trans)
+        pdf_rev_sa = bsdf_ops.bsdf_pdf(mat, wi_local, -wo_local, ones,
+                                       transmission=trans)
         valid = reached & (pdf_sa >= EPSILON)
 
         first_d_vcm = 1.0 / jnp.maximum(pdf_fwd_area, 1e-20)
@@ -242,16 +246,18 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         if cfg.nee and scene.num_lights > 0:
             rays = rays + jnp.sum(conn.astype(jnp.int32))
             ne = _bdpt_nee(scene, bkey, 7, ev, mat, albedo,
-                           prev_to_curr_local, conn, ids=pid)
+                           prev_to_curr_local, conn, ids=pid, trans_e=trans)
             pdf_bsdf_sa = bsdf_ops.bsdf_pdf(mat, -prev_to_curr_local,
-                                            ne["stl_local"], ones)
+                                            ne["stl_local"], ones,
+                                            transmission=trans)
             pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(ne["cos_light"]) / ne["d2"]
             ratio = pdf_bsdf_area / jnp.maximum(ne["pdf_connect"], 1e-20)
             w_light = ratio * ratio  # reference quirk: squared (2533)
             pdf_curr_rev_area = (ne["pdf_emit_sa"]
                                  * jnp.abs(ne["stl_local"][..., 2]) / ne["d2"])
             pdf_prev_rev_sa = bsdf_ops.bsdf_pdf(mat, ne["stl_local"],
-                                                -prev_to_curr_local, ones)
+                                                -prev_to_curr_local, ones,
+                                                transmission=trans)
             w_eye = pdf_curr_rev_area * (eta_vcm + d_vcm
                                          + pdf_prev_rev_sa * d_vc)
             weight = 1.0 / (1.0 + w_light + w_eye)
@@ -286,21 +292,27 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 mat_l = scene.materials.gather(pick(lbufs.mat_id))
                 albedo_l = bsdf_ops.resolve_albedo(scene, mat_l,
                                                    pick(lbufs.uv))
+                trans_l = bsdf_ops.resolve_transmission(scene, mat_l,
+                                                        pick(lbufs.uv))
                 l2e_loc_l = to_local(-e2l_u, lnrm)
                 to_l_from_prev_loc = to_local(-pick(lbufs.wo), lnrm)
                 l2e_loc_e = to_local(-e2l_u, normal)
                 to_prev_loc_e = to_local(normalize(prev_pt - pos), normal)
 
                 pdf_eye_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_l, -to_l_from_prev_loc, l2e_loc_l, ones)
+                    mat_l, -to_l_from_prev_loc, l2e_loc_l, ones,
+                    transmission=trans_l)
                 pdf_eye_rev_area = pdf_eye_rev_sa * cos_e / d2
                 pdf_bef_eye_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat, -l2e_loc_e, to_prev_loc_e, ones)
+                    mat, -l2e_loc_e, to_prev_loc_e, ones,
+                    transmission=trans)
                 pdf_light_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat, to_prev_loc_e, -l2e_loc_e, ones)
+                    mat, to_prev_loc_e, -l2e_loc_e, ones,
+                    transmission=trans)
                 pdf_light_rev_area = pdf_light_rev_sa * cos_l / d2
                 pdf_bef_light_rev_sa = bsdf_ops.bsdf_pdf(
-                    mat_l, l2e_loc_l, -to_l_from_prev_loc, ones)
+                    mat_l, l2e_loc_l, -to_l_from_prev_loc, ones,
+                    transmission=trans_l)
 
                 w_eye = pdf_eye_rev_area * (eta_vcm + d_vcm
                                             + pdf_bef_eye_rev_sa * d_vc)
@@ -310,9 +322,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 weight = 1.0 / (1.0 + w_eye + w_light)
 
                 f_eye = bsdf_ops.bsdf_f(mat, albedo, -l2e_loc_e,
-                                        to_prev_loc_e, ones)
+                                        to_prev_loc_e, ones,
+                                        transmission=trans)
                 f_light = bsdf_ops.bsdf_f(mat_l, albedo_l, l2e_loc_l,
-                                          -to_l_from_prev_loc, ones)
+                                          -to_l_from_prev_loc, ones,
+                                          transmission=trans_l)
                 gg = jnp.minimum(cos_e * cos_l / d2, MAX_G_CONNECT)
                 contrib = (thr * pick(lbufs.beta) * f_eye * f_light
                            * gg[:, None] * shadow)
@@ -333,11 +347,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 p_d_vcm, p_d_vm = row[:, 12], row[:, 13]
                 wi_loc = to_local(photon_wi, normal)
                 f_val = bsdf_ops.bsdf_f(mat, albedo, wi_loc, eye_prev_loc,
-                                        ones)
+                                        ones, transmission=trans)
                 pdf_eye_rev = bsdf_ops.bsdf_pdf(mat, wi_loc, eye_prev_loc,
-                                                ones)
+                                                ones, transmission=trans)
                 pdf_light_rev = bsdf_ops.bsdf_pdf(mat, eye_prev_loc, wi_loc,
-                                                  ones)
+                                                  ones, transmission=trans)
                 w_eye = d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                     + pdf_eye_rev * d_vm
                 w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \

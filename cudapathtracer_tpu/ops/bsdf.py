@@ -275,7 +275,13 @@ def resolve_albedo(scene, mat, uv):
 
 def resolve_transmission(scene, mat, uv):
     """Transmission with transmission-map override (reflectors.cuh:573-578,
-    654-659: hasTransMap -> sampleTexture, red channel)."""
+    600-610, 654-659: hasTransMap -> sampleTexture, red channel). The
+    reference resolves this before every f/sample/pdf dispatch; integrators
+    do the same via this helper. When the scene statically has no trans
+    maps the texture fetch is elided (scene.has_trans_maps is a jit-static
+    bool)."""
+    if not getattr(scene, "has_trans_maps", True):
+        return mat.transmission
     tex = sample_texture(scene.textures, mat.trans_tex_start,
                          mat.trans_tex_width, mat.trans_tex_height, uv)
     return jnp.where(mat.trans_tex_start >= 0, tex[..., 0], mat.transmission)

@@ -91,6 +91,9 @@ class Scene:
     num_lights: int = field(metadata=dict(static=True), default=0)
     max_leaf_size: int = field(metadata=dict(static=True), default=2)
     has_leaf_materials: bool = field(metadata=dict(static=True), default=False)
+    # any triangle's material carries a transmission map (gates the
+    # trans-map texture fetch out of the hot shade path when False)
+    has_trans_maps: bool = field(metadata=dict(static=True), default=False)
     traversal: str = field(metadata=dict(static=True), default="bvh8")
     bvh8_leaf_tris: int = field(metadata=dict(static=True), default=4)
 
@@ -231,6 +234,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         num_lights=num_lights,
         max_leaf_size=int(bvh.leaf[:, 1].max()),
         has_leaf_materials=bool(tri_is_leaf_mat.any()),
+        has_trans_maps=bool(
+            (np.asarray(table.trans_tex_start)[tri_mat] >= 0).any()),
         traversal=traversal,
         bvh8_leaf_tris=bvh8.leaf_tris,
     )

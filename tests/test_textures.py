@@ -86,3 +86,52 @@ def test_transmission_map_resolution():
     uv = jnp.asarray([[0.5, 0.5], [0.5, 0.5]])
     out = np.asarray(bsdf_ops.resolve_transmission(FakeScene, rows, uv))
     np.testing.assert_allclose(out, [0.75, 0.1], atol=1e-6)
+
+
+def test_trans_map_changes_render():
+    """End-to-end: a leaf panel's transmission MAP must drive the image
+    (reflectors.cuh:573-578 — trans map resolved before every dispatch).
+    Two identical scenes differing only in the map's red channel must
+    render differently; identical maps must render bit-identically."""
+    import jax
+
+    from cudapathtracer_tpu.models import unidirectional
+    from cudapathtracer_tpu.scene.builtin import quad
+    from cudapathtracer_tpu.scene.camera import Camera
+    from cudapathtracer_tpu.utils import rng
+    from cudapathtracer_tpu.utils.obj import MeshData
+
+    def render(tval):
+        b = textures.AtlasBuilder()
+        tmap = np.full((4, 4, 3), tval, np.float32)
+        win = b.add_image(tmap)
+        mats = [Material.diffuse((0.7, 0.7, 0.7)),
+                Material.leaf(albedo=(0.8, 0.8, 0.8), transmission=0.5,
+                              trans_tex_start=win[0],
+                              trans_tex_width=win[1],
+                              trans_tex_height=win[2])]
+        m = MeshData()
+        # vertical leaf panel right in front of the camera, emissive wall
+        # behind it: the transmitted lobe dominates the view
+        quad(m, (-1.5, -1.5, 0), (1.5, -1.5, 0), (1.5, 1.5, 0),
+             (-1.5, 1.5, 0), 1)
+        quad(m, (-1.5, -1.5, -1.0), (1.5, -1.5, -1.0), (1.5, 1.5, -1.0),
+             (-1.5, 1.5, -1.0), 0, emission=(8.0, 8.0, 8.0))
+        scene, _ = build_scene(m, mats, textures=b.build())
+        assert scene.has_trans_maps
+        w = h = 24
+        cam = Camera.pinhole((0.0, 0.0, 2.0), w, h, 0.0, 0.0, 0.0, 60.0)
+        px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+        li, _ = unidirectional.render_sample(
+            scene, cam, rng.base_key(), jnp.int32(0), px.ravel(), py.ravel(),
+            max_depth=4)
+        return np.asarray(li)
+
+    img_opaque = render(0.0)
+    img_clear = render(0.95)
+    img_clear2 = render(0.95)
+    assert np.isfinite(img_opaque).all() and np.isfinite(img_clear).all()
+    np.testing.assert_array_equal(img_clear, img_clear2)
+    # the map value must actually change the image
+    diff = np.abs(img_clear - img_opaque).mean()
+    assert diff > 1e-3, f"trans map had no effect (mean abs diff {diff})"
