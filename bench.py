@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark harness: Mrays/s on the 1080p Cornell+bunny unidirectional
-render (BASELINE.md headline metric). Prints ONE JSON line.
+"""Benchmark harness.
+
+Emits ONE JSON line per benchmark: every BASELINE.md config (1: 512^2
+Cornell, 2: specular spheres, 3: 1080p Cornell+mesh, 4: NEE+GGX, 5:
+multi-chip dryrun stand-in) and every integrator (naive/uni/mega/BDPT/
+VCM/SPPM) at a fixed small workload — so round-over-round regressions are
+visible for all of them. The HEADLINE line (mega-wavefront unidirectional,
+1080p Cornell+mesh — BASELINE config 3) is printed LAST so tail parsers
+pick it up.
 
 The reference publishes no numbers (BASELINE.md: "published": {}), so
 vs_baseline is reported against this repo's self-imposed target of
 TARGET_MRAYS on one chip — the driver records the absolute value per round.
 
-Usage: python bench.py [--small] [--spp N]
+Usage: python bench.py [--small] [--spp N] [--headline-only] [--skip-suite-slow]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -23,19 +32,150 @@ import numpy as np
 TARGET_MRAYS = 100.0  # self-imposed round-over-round target (no published ref)
 
 
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _grid(w, h):
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    return px.ravel(), py.ravel()
+
+
+def _time_samples(step, spp, warmup=1):
+    """Run `step(sample_idx) -> (li, rays)` spp times after a warmup
+    compile; returns (seconds, total_rays, accumulated_image)."""
+    li, rays = step(warmup - 1)
+    _ = float(li.sum())  # forces completion through the axon tunnel
+    acc = jnp.zeros_like(li)
+    rtot = jnp.zeros((), jnp.int32)
+    t0 = time.perf_counter()
+    for s in range(warmup, warmup + spp):
+        li, rays = step(s)
+        acc = acc + li
+        rtot = rtot + rays
+        # bounded in-flight queue (the tunnel deadlocks with tens of big
+        # async dispatches queued; one scalar fetch keeps ~1 in flight)
+        _ = float(rays)
+    img = np.asarray(acc)  # the real barrier
+    dt = time.perf_counter() - t0
+    assert np.isfinite(img).all(), "NaN/Inf in benchmark render"
+    return dt, int(rtot), img
+
+
+def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
+               extra=None):
+    from cudapathtracer_tpu.models import unidirectional_mega
+
+    def step(s):
+        return unidirectional_mega.render_sample(
+            scene, cam, key, s, px, py, max_depth=max_depth,
+            width=min(width, int(px.shape[0])))
+
+    dt, rays, _ = _time_samples(step, spp)
+    mrays = rays / dt / 1e6
+    result = {
+        "metric": metric, "value": round(mrays, 3), "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "spp_per_s": round(spp / dt, 4), "rays": rays,
+        "seconds": round(dt, 3),
+    }
+    result.update(extra or {})
+    return result
+
+
+def run_suite(args, key):
+    from cudapathtracer_tpu.models import (bdpt, naive, unidirectional,
+                                           unidirectional_mega, vcm)
+    from cudapathtracer_tpu.scene import builtin
+    from cudapathtracer_tpu.scene.camera import Camera
+    from cudapathtracer_tpu.scene.materials import builtin_materials
+    from cudapathtracer_tpu.scene.scene import build_scene
+
+    mats = builtin_materials()
+
+    # ---- BASELINE config 1: Cornell box, Lambertian + area light, 512^2
+    scene, _ = build_scene(builtin.cornell_with_blocks(), mats)
+    w = h = 512
+    cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
+    px, py = _grid(w, h)
+    _emit(bench_mega(scene, cam, key, px, py, args.spp, args.width,
+                     "config1 Cornell 512x512 mega"))
+
+    # ---- BASELINE config 2: specular (mirror + dielectric), 512^2
+    scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
+    _emit(bench_mega(scene2, cam, key, px, py, args.spp, args.width,
+                     "config2 specular mirror+glass 512x512 mega"))
+
+    # ---- BASELINE config 4: NEE + GGX microfacet with MIS, 512^2
+    mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
+    scene4, _ = build_scene(mesh4, mats)
+    _emit(bench_mega(scene4, cam, key, px, py, args.spp, args.width,
+                     f"config4 NEE+GGX steel mesh({mesh4.num_triangles}) "
+                     "512x512 mega"))
+
+    # ---- per-integrator small workload: 256^2 Cornell, fixed depths
+    ws = hs = 256
+    cam_s = Camera.pinhole((0.0, 0.0, 1.0), ws, hs, 0.0, 0.0, 0.0, 60.0)
+    pxs, pys = _grid(ws, hs)
+    spp_s = max(args.spp // 2, 1)
+
+    def emit_integrator(name, step):
+        dt, rays, _ = _time_samples(step, spp_s)
+        mrays = rays / dt / 1e6
+        _emit({"metric": f"integrator {name} 256x256 Cornell",
+               "value": round(mrays, 3), "unit": "Mrays/s",
+               "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+               "spp_per_s": round(spp_s / dt, 4), "rays": rays,
+               "seconds": round(dt, 3)})
+
+    emit_integrator("naive", lambda s: naive.render_sample(
+        scene, cam_s, key, s, pxs, pys, max_depth=6))
+    emit_integrator("unidirectional-classic",
+                    lambda s: unidirectional.render_sample(
+                        scene, cam_s, key, s, pxs, pys, max_depth=6))
+    emit_integrator("unidirectional-mega",
+                    lambda s: unidirectional_mega.render_sample(
+                        scene, cam_s, key, s, pxs, pys, max_depth=6,
+                        width=min(args.width, int(pxs.shape[0]))))
+    if not args.skip_suite_slow:
+        bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
+        emit_integrator("bdpt", lambda s: bdpt.render_sample(
+            scene, cam_s, key, s, pxs, pys, cfg=bcfg))
+        vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
+        emit_integrator("vcm", lambda s: vcm.render_sample(
+            scene, cam_s, key, s, pxs, pys, cfg=vcfg))
+        scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
+                             nee=False, naive=False, connection=False,
+                             do_mis=False, do_sppm=True)
+        emit_integrator("sppm", lambda s: vcm.render_sample(
+            scene, cam_s, key, s, pxs, pys, cfg=scfg))
+
+    # ---- BASELINE config 5: multi-chip — virtual 8-device CPU mesh dryrun
+    # (correctness stand-in; real multi-chip hardware is not attached)
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, timeout=1200)
+    _emit({"metric": "config5 multichip dryrun 8-device virtual mesh",
+           "value": 8 if r.returncode == 0 else 0, "unit": "devices_ok",
+           "vs_baseline": 1.0 if r.returncode == 0 else 0.0,
+           "seconds": round(time.perf_counter() - t0, 1)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
-                    help="256x256 quick mode (CI/CPU)")
+                    help="256x256 headline quick mode (CI/CPU)")
     ap.add_argument("--spp", type=int, default=4)
-    ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--chunks", type=int, default=20,
-                    help="split the wavefront into pixel chunks (memory cap; "
-                    "~100k-lane chunks measured fastest on v5e)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the suite, emit only the 1080p headline")
+    ap.add_argument("--skip-suite-slow", action="store_true",
+                    help="skip the BDPT/VCM/SPPM integrator benches")
     ap.add_argument("--classic", action="store_true",
-                    help="classic per-bounce wavefront integrator instead "
-                    "of the default persistent mega-wavefront")
-    ap.add_argument("--mega", action="store_true", help="(default)")
+                    help="classic per-bounce wavefront for the headline")
     ap.add_argument("--width", type=int, default=103680,
                     help="mega wavefront lane count (v5e sweet spot)")
     args = ap.parse_args()
@@ -50,78 +190,60 @@ def main():
     from cudapathtracer_tpu.scene.scene import build_scene
     from cudapathtracer_tpu.utils import rng
 
+    key = rng.base_key()
+
+    if not (args.small or args.headline_only):
+        run_suite(args, key)
+
+    # ---- headline: BASELINE config 3 (1080p Cornell + mesh) ----
     if args.small:
         w, h, subdiv = 256, 256, 4
     else:
-        w, h, subdiv = 1920, 1080, 6  # ~82k tris, BASELINE configs 3
+        w, h, subdiv = 1920, 1080, 6  # ~82k tris
 
     t0 = time.perf_counter()
     mesh = builtin.cornell_with_bunny(subdivisions=subdiv)
     scene, _ = build_scene(mesh, builtin_materials())
     t_scene = time.perf_counter() - t0
-
     cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
-    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
-    px, py = px.ravel(), py.ravel()
-    nchunks = max(args.chunks, 1) if not args.small else 1
-    csz = px.shape[0] // nchunks
-    pxc = [px[i * csz:(i + 1) * csz] for i in range(nchunks)]
-    pyc = [py[i * csz:(i + 1) * csz] for i in range(nchunks)]
-    key = rng.base_key()
+    px, py = _grid(w, h)
 
-    if not args.classic:
-        from cudapathtracer_tpu.models import unidirectional_mega
-        nchunks = 1
-        pxc, pyc = [px], [py]
-        csz = px.shape[0]
+    if args.classic:
+        nchunks = 20 if not args.small else 1
+        csz = px.shape[0] // nchunks
+        pxc = [px[i * csz:(i + 1) * csz] for i in range(nchunks)]
+        pyc = [py[i * csz:(i + 1) * csz] for i in range(nchunks)]
 
-        def step(s, c):
-            return unidirectional_mega.render_sample(
-                scene, cam, key, s, px, py, max_depth=8,
-                width=min(args.width, int(px.shape[0])))
+        li, rays = unidirectional.render_sample(scene, cam, key, 0, pxc[0],
+                                                pyc[0], max_depth=8)
+        _ = float(li.sum())
+        rtot = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for s in range(1, 1 + args.spp):
+            for c in range(nchunks):
+                li, rays = unidirectional.render_sample(
+                    scene, cam, key, s, pxc[c], pyc[c], max_depth=8)
+                rtot = rtot + rays
+                _ = float(rays)
+        total_rays = int(rtot)
+        dt = time.perf_counter() - t0
+        result = {"rays": total_rays, "seconds": round(dt, 3)}
+        mrays = total_rays / dt / 1e6
+        result.update({
+            "metric": f"Mrays/s unidirectional-classic {w}x{h} "
+                      f"Cornell+mesh({mesh.num_triangles} tris)",
+            "value": round(mrays, 3), "unit": "Mrays/s",
+            "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            "spp_per_s": round(args.spp / dt, 4)})
     else:
-        def step(s, c):
-            return unidirectional.render_sample(scene, cam, key, s, pxc[c],
-                                                pyc[c], max_depth=8)
+        result = bench_mega(
+            scene, cam, key, px, py, args.spp, args.width,
+            f"Mrays/s unidirectional {w}x{h} "
+            f"Cornell+mesh({mesh.num_triangles} tris)")
 
-    # warmup/compile; the device fetch forces real completion (the axon
-    # tunnel's block_until_ready does not synchronize execution)
-    li, rays = step(0, 0)
-    _ = float(li.sum())
-
-    accs = [jnp.zeros((csz, 3), jnp.float32) for _ in range(nchunks)]
-    rtot = jnp.zeros((), jnp.int32)
-    t0 = time.perf_counter()
-    for s in range(args.warmup, args.warmup + args.spp):
-        for c in range(nchunks):
-            li, rays = step(s, c)
-            accs[c] = accs[c] + li
-            rtot = rtot + rays
-            # bounded in-flight queue: the axon tunnel deadlocks when tens
-            # of big dispatches are queued asynchronously (observed, round
-            # 1); one cheap scalar fetch per chunk keeps it to ~1 in flight
-            # at ~2% cost
-            _ = float(rays)
-    img = np.concatenate([np.asarray(a) for a in accs])  # the real barrier
-    dt = time.perf_counter() - t0
-    total_rays = int(rtot)
-
-    assert np.isfinite(img).all(), "NaN/Inf in benchmark render"
-
-    mrays = total_rays / dt / 1e6
-    spp_s = args.spp / dt
-    result = {
-        "metric": f"Mrays/s unidirectional {w}x{h} Cornell+mesh({mesh.num_triangles} tris)",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-        "spp_per_s": round(spp_s, 4),
-        "rays": total_rays,
-        "seconds": round(dt, 3),
-        "scene_build_s": round(t_scene, 3),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    result["scene_build_s"] = round(t_scene, 3)
+    result["device"] = str(jax.devices()[0])
+    _emit(result)
     return 0
 
 
