@@ -213,11 +213,18 @@ def _bdpt_nee(scene, key, tag, ev, mat_e, albedo_e, prev_to_curr_local,
                 stl_local=stl_local)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "splat_shape"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
-                  cfg: BDPTConfig):
+                  cfg: BDPTConfig, splat_shape: int | None = None):
     """One progressive BDPT sample. Returns (radiance [N,3] — includes the
-    scatter-add light-trace splat over the whole image, rays [scalar])."""
+    scatter-add light-trace splat over the whole image, rays [scalar]).
+
+    splat_shape: when set (tile sharding, parallel/sharding.py), the
+    light-trace splat buffer covers the FULL image (splat_shape = W*H
+    pixels) and is returned separately as (li_local [N,3],
+    splat [splat_shape,3], rays) — the caller psums the splat over the
+    tile axis. Splat pixel indices are global raster indices either way
+    (lightPathTracing's atomicAdd targets, deviceCode.cu:1426-1428)."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -229,7 +236,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # --- light pass (vertices 0..light_depth-1, s up to light_depth) ---
     lbufs, lv0, rays_l = paths.generate_light_path(scene, key_l, n,
                                                    cfg.light_depth, ids=pid)
-    fb = jnp.zeros((n, 3), jnp.float32)
+    fb = jnp.zeros((splat_shape or n, 3), jnp.float32)
     rays_s = jnp.int32(0)
     if cfg.light_trace:
         fb, rays_s = light_trace_splat(scene, camera, lbufs, lv0, cfg, fb)
@@ -413,6 +420,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     (li, rays_c), _ = jax.lax.scan(connect_t, (li, rays_c),
                                    jnp.arange(2, cfg.eye_depth + 1))
 
-    total = li + fb
     rays = rays_l + rays_e + rays_s + rays_c
-    return total, rays
+    if splat_shape is not None:
+        return li, fb, rays
+    return li + fb, rays

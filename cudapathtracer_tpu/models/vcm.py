@@ -83,8 +83,10 @@ def _clamp_firefly(c):
 
 def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
     """t=1 splat over stored VCM light vertices (deviceCode.cu:2266-2382).
-    Unlike BDPT, the light endpoint itself is not stored/splatted."""
-    n = fb.shape[0]
+    Unlike BDPT, the light endpoint itself is not stored/splatted. fb may
+    be larger than the path count n (full-image buffer under tile
+    sharding); splat pixel indices are global raster indices."""
+    n = lbufs.valid.shape[1]
     w, h = camera.width, camera.height
     plane_area = _plane_area(camera)
     ones = jnp.ones((n,), jnp.float32)
@@ -140,10 +142,12 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
     return fb, rays
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "splat_shape"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
-                  cfg: VCMConfig):
-    """One progressive VCM/SPPM sample -> (radiance [N,3], rays)."""
+                  cfg: VCMConfig, splat_shape: int | None = None):
+    """One progressive VCM/SPPM sample -> (radiance [N,3], rays); with
+    splat_shape set, (li_local [N,3], splat [splat_shape,3], rays) for
+    tile sharding (see models/bdpt.py render_sample)."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -166,7 +170,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         scene, key_l, start, cfg.light_depth + 1, 1,  # TRANSPORT_IMPORTANCE
         eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid)
 
-    fb = jnp.zeros((n, 3), jnp.float32)
+    fb = jnp.zeros((splat_shape or n, 3), jnp.float32)
     rays_s = jnp.int32(0)
     if cfg.light_trace:
         fb, rays_s = vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb)
@@ -396,4 +400,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     carry, _ = jax.lax.scan(body, carry0, jnp.arange(cfg.eye_depth))
     colorsum, erays = carry[-2], carry[-1]
 
-    return colorsum + fb, lrays + rays_s + erays
+    rays = lrays + rays_s + erays
+    if splat_shape is not None:
+        return colorsum, fb, rays
+    return colorsum + fb, rays

@@ -16,9 +16,13 @@ the render key, so every chip draws an independent, reproducible stream
 
 Scope note: pixel-local integrators (naive, unidirectional) shard exactly.
 The splat-based strategies (BDPT/VCM light tracing) scatter into GLOBAL
-pixel indices, so under tile sharding their splats would need a full-image
-scatter + psum over the tile axis — planned; until then run those
-integrators single-chip or with spp-only sharding (n_tile=1).
+pixel indices; under tile sharding pass `splat=True` — each shard then
+scatters its light paths into a full-image replicated buffer which is
+psum-reduced over the tile axis (SURVEY §2.9 "atomicAdd scatter ->
+scatter-add + psum across shards") and every shard keeps its own tile
+slice. Because all integrator RNG streams are keyed by pixel id (layout
+independent), the tile-sharded image equals the single-chip image up to
+scatter-order float addition (tested in tests/test_sharding.py).
 """
 
 from __future__ import annotations
@@ -47,7 +51,8 @@ def replicated_specs(tree):
     return jax.tree.map(lambda _: P(), tree)
 
 
-def make_sharded_sample_fn(sample_fn, mesh: Mesh, scene, camera, **static_kw):
+def make_sharded_sample_fn(sample_fn, mesh: Mesh, scene, camera, splat=False,
+                           **static_kw):
     """Wrap a per-sample integrator fn (scene, camera, key, sample_idx, px,
     py, **static) into a shard_mapped version over `mesh`.
 
@@ -55,17 +60,37 @@ def make_sharded_sample_fn(sample_fn, mesh: Mesh, scene, camera, **static_kw):
     rays scalar). px/py must be divisible by the tile axis size. Each spp
     shard renders `sample_idx * n_spp + spp_coord` and results are psum-med
     over the spp axis, so one call advances n_spp samples at once.
+
+    splat=True (BDPT/VCM light tracing): the integrator is called with a
+    full-image `splat_shape` and returns (li_local, splat_full, rays); the
+    splat buffer is psum-reduced over BOTH mesh axes and each shard adds
+    its own contiguous tile slice — the TPU-native replacement for the
+    reference's atomicAdd framebuffer splat (deviceCode.cu:1426-1428).
+    Integrator RNG is pixel-id keyed, so per-chip keys are NOT folded for
+    splat integrators: every shard generates exactly the light paths of
+    its own pixel block and the union reproduces the single-chip render.
     """
     n_spp = mesh.shape["spp"]
+    n_tile = mesh.shape["tile"]
 
     def inner(scene_r, camera_r, key, sample_idx, px, py):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")
-        # independent per-chip stream; deterministic for fixed mesh shape
-        shard_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
         my_sample = sample_idx * n_spp + si
-        li, rays = sample_fn(scene_r, camera_r, shard_key, my_sample, px, py,
-                             **static_kw)
+        if splat:
+            n_local = px.shape[0]
+            li, fb, rays = sample_fn(scene_r, camera_r, key, my_sample, px,
+                                     py, splat_shape=n_local * n_tile,
+                                     **static_kw)
+            # reduce over tile ONLY: each spp shard's fb is its own
+            # sample's splat and joins li before the spp-axis psum below
+            fb = jax.lax.psum(fb, "tile")
+            li = li + jax.lax.dynamic_slice_in_dim(fb, ti * n_local, n_local)
+        else:
+            # independent per-chip stream; deterministic for fixed mesh
+            shard_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
+            li, rays = sample_fn(scene_r, camera_r, shard_key, my_sample, px,
+                                 py, **static_kw)
         # sum independent samples over ICI; tile axis stays sharded
         li = jax.lax.psum(li, "spp")
         rays = jax.lax.psum(rays, ("tile", "spp"))

@@ -90,3 +90,47 @@ def test_spp_sharded_bdpt(setup):
     assert done == 8 and rays > 0
     assert np.isfinite(acc).all()
     assert acc.mean() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_bdpt_splat_matches_single_device(setup):
+    """Tile-sharded BDPT (full-image splat + psum over the tile axis,
+    splat=True) must reproduce the single-device render: RNG streams are
+    pixel-id keyed, so each shard generates exactly its pixels' light
+    paths and the psum-ed splat equals the single-chip scatter-add up to
+    float summation order."""
+    import jax.numpy as jnp
+
+    from cudapathtracer_tpu.models import bdpt
+    from cudapathtracer_tpu.utils import rng
+
+    scene, cam = setup
+    cfg = bdpt.BDPTConfig(eye_depth=4, light_depth=3)
+    mesh = sharding.make_mesh(n_tile=8, n_spp=1)
+    acc_s, done, rays_s = sharding.render_sharded(
+        bdpt.render_sample, mesh, scene, cam, 16, 16, 1, splat=True, cfg=cfg)
+    assert done == 1 and rays_s > 0
+
+    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(16))
+    key = rng.base_key()
+    li, rays_u = bdpt.render_sample(scene, cam, key, 0, px.ravel(),
+                                    py.ravel(), cfg=cfg)
+    acc_u = np.asarray(li)
+    assert int(rays_s) == int(rays_u)
+    np.testing.assert_allclose(acc_s, acc_u, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_vcm_splat_finite(setup):
+    """VCM light-trace splat under tile x spp sharding: runs, finite,
+    non-black (merge off keeps the photon grid out of this test)."""
+    from cudapathtracer_tpu.models import vcm
+
+    scene, cam = setup
+    cfg = vcm.VCMConfig(eye_depth=4, light_depth=3, do_merge=False)
+    mesh = sharding.make_mesh(n_tile=4, n_spp=2)
+    acc, done, rays = sharding.render_sharded(
+        vcm.render_sample, mesh, scene, cam, 16, 16, 2, splat=True, cfg=cfg)
+    assert done == 2 and rays > 0
+    assert np.isfinite(acc).all()
+    assert acc.mean() > 0
