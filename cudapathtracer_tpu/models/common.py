@@ -237,19 +237,12 @@ def stack_remove(ms: MediumStack, mat_id, mask) -> MediumStack:
 
 
 def table_lookup(col, ids):
-    """col[ids] for a TINY table via one-hot contraction. A random gather
-    pays a per-row latency floor on v5e (~320 us at 100k lanes) regardless
-    of how small the table is; the one-hot form is pure VPU/MXU work and
-    fuses into neighbors. Use only when col.shape[0] is small (materials,
-    lights)."""
-    m = col.shape[0]
-    oh = ids[..., None] == jnp.arange(m, dtype=ids.dtype)
-    if col.ndim == 1:
-        return jnp.sum(jnp.where(oh, col, jnp.zeros_like(col)), axis=-1)
-    # select-sum, NOT tensordot: a one-hot matmul would ride the MXU in
-    # bf16 and truncate the table values (light positions!)
-    return jnp.sum(jnp.where(oh[..., None], col, jnp.zeros_like(col)),
-                   axis=-2)
+    """col[ids] — direct row gather. Round 1 used a one-hot contraction
+    here on the belief that random gathers paid a large latency floor; the
+    revised v5e cost model (docs/ROADMAP.md) shows the gather is nearly
+    free while the one-hot's [N,24]-shaped intermediates waste the 128-wide
+    lane dimension."""
+    return col[ids]
 
 
 def dominant_medium(ms: MediumStack):

@@ -23,33 +23,84 @@ from cudapathtracer_tpu.ops import bsdf as bsdf_ops
 from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.scene.materials import (TRANSPORT_IMPORTANCE,
                                                 TRANSPORT_RADIANCE)
-from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils import packing, rng
 from cudapathtracer_tpu.utils.math import (EPSILON, PI, RAY_EPSILON, dot,
                                            length_sq, normalize, to_local,
                                            to_world)
 
 
 class PathBuffers(NamedTuple):
-    """Depth-major SoA path storage; all arrays [D, N, ...].
+    """Depth-major SoA path storage, PACKED; all arrays [D, N, ...].
 
-    Field-parity with the reference PathVertices (objects.cuh:437-484):
-    pt/n/wo/uv/beta/pdfFwd/d_vc/d_vcm/isDelta/backface/lightInd/materialID,
-    plus an explicit validity mask instead of the pathLength counter.
+    Field-parity with the reference PathVertices (objects.cuh:437-484), in
+    the reference's SHIPPED compressed layout (packed VCMPathVertices,
+    objects.cuh:958-1157): octahedral-encoded unit vectors (one uint32
+    each), half-precision beta and uv (objects.cuh:1123-1133), and a single
+    packed (isDelta | backface | lightInd | matID) flag word
+    (objects.cuh:945-1004) — ~44 B/vertex instead of ~85, which halves the
+    HBM traffic of the BDPT/VCM connection and splat stages.
+
+    Consumers read decoded views through the properties (n, wo, uv, beta,
+    is_delta, backface, light_ind, mat_id); the decodes are elementwise, so
+    XLA commutes them with the per-row picks and only the rows actually
+    read are decoded. MIS quantities (pdf_fwd, d_vcm, d_vc, d_vm) stay
+    float32 — the recursive weights are precision-critical.
     """
-    pt: jax.Array         # [D,N,3]
-    n: jax.Array          # [D,N,3] shading normal (flipped toward incoming)
-    wo: jax.Array         # [D,N,3] unit vector toward the PREVIOUS vertex
-    uv: jax.Array         # [D,N,2]
-    beta: jax.Array       # [D,N,3] throughput at the vertex
+    pt: jax.Array         # [D,N,3] f32
+    n_oct: jax.Array      # [D,N] u32 oct-encoded shading normal
+    wo_oct: jax.Array     # [D,N] u32 oct-encoded unit vector to PREV vertex
+    uv_h: jax.Array       # [D,N,2] f16
+    beta_h: jax.Array     # [D,N,3] f16 throughput at the vertex
     pdf_fwd: jax.Array    # [D,N] area pdf of generating the vertex
     d_vcm: jax.Array      # [D,N]
     d_vc: jax.Array       # [D,N]
-    d_vm: jax.Array       # [D,N] (VCM only)
-    is_delta: jax.Array   # [D,N] bool
-    backface: jax.Array   # [D,N] bool
-    light_ind: jax.Array  # [D,N] i32; -1 = not an emitter (reference: -51)
-    mat_id: jax.Array     # [D,N] i32
+    d_vm: jax.Array       # [D,N] (VCM only; None on BDPT walks)
+    flags: jax.Array      # [D,N] u32 (isDelta|backface|lightInd+1|matID)
     valid: jax.Array      # [D,N] bool
+
+    @classmethod
+    def encode(cls, *, pt, n, wo, uv, beta, pdf_fwd, d_vcm, d_vc, d_vm,
+               is_delta, backface, light_ind, mat_id, valid):
+        return cls(pt=pt, n_oct=packing.pack_oct(n),
+                   wo_oct=packing.pack_oct(wo),
+                   uv_h=uv.astype(jnp.float16),
+                   beta_h=packing.to_half3(beta),
+                   pdf_fwd=pdf_fwd, d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
+                   flags=packing.pack_flags(is_delta, backface, light_ind,
+                                            mat_id),
+                   valid=valid)
+
+    @property
+    def n(self):
+        return packing.unpack_oct(self.n_oct)
+
+    @property
+    def wo(self):
+        return packing.unpack_oct(self.wo_oct)
+
+    @property
+    def uv(self):
+        return self.uv_h.astype(jnp.float32)
+
+    @property
+    def beta(self):
+        return packing.from_half3(self.beta_h)
+
+    @property
+    def is_delta(self):
+        return packing.unpack_flags(self.flags)[0]
+
+    @property
+    def backface(self):
+        return packing.unpack_flags(self.flags)[1]
+
+    @property
+    def light_ind(self):
+        return packing.unpack_flags(self.flags)[2]
+
+    @property
+    def mat_id(self):
+        return packing.unpack_flags(self.flags)[3]
 
 
 class WalkStart(NamedTuple):
@@ -110,7 +161,7 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
 
         valid = reached & (pdf_sa >= EPSILON)
 
-        out = PathBuffers(
+        out = PathBuffers.encode(
             pt=info["point"], n=normal, wo=normalize(-d), uv=info["uv"],
             beta=thr, pdf_fwd=pdf_fwd_area, d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
             is_delta=cur_delta, backface=info["backface"],

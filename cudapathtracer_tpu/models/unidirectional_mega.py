@@ -5,12 +5,12 @@ deviceCode.cu:285-542: NEE + power-2 MIS, nested-dielectric priority
 stack, Beer-Lambert absorption, Russian roulette), reorganized around the
 measured v5e cost model:
 
-  * a random-row gather step costs a ~320 us latency floor REGARDLESS of
-    wavefront width — narrowing a wavefront (straggler compaction) barely
-    reduces step cost, so per-bounce and per-traversal lockstep tails burn
-    most of the machine (classic design: ~41 effective full-width steps
-    per closest call whose mean useful depth is ~12 rows);
-  * VPU math and keyed-RNG draws are cheap next to gathers.
+  * per-bounce and per-traversal lockstep tails burn most of the machine
+    in the classic design (~41 effective full-width steps per closest call
+    whose mean useful depth is ~12 rows) — persistence removes the tails;
+  * the traversal step cost is VPU work in LANE-MAJOR layout, not the row
+    gather (~3 us at 104k lanes; revised cost model, docs/ROADMAP.md);
+  * keyed-RNG draws are cheap.
 
 Design: ONE fixed-width lane machine. Every loop iteration advances a
 mixed closest/shadow BVH8 node-step for all lanes
@@ -30,6 +30,7 @@ different (equally valid) noise realization than the classic integrator.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple
 
@@ -56,6 +57,15 @@ _ID_STRIDE = 191
 _D_NEE = 0
 _D_BSDF = 4
 _D_RR = 8
+
+# Default schedule (steps_per_iter traversal node-steps per while
+# iteration, grouped into mini_splits transition checks). XLA:CPU compile
+# time is super-linear in the unrolled body size (measured 11s/33s/132s at
+# spi 1/4/8 on the 16x16 golden), so the test suite dials these down via
+# the environment exactly like ops/traverse.py — the image is invariant to
+# the schedule (RNG is keyed by global pixel id + per-lane bounce counter).
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "24"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
 
 
 class _MState(NamedTuple):
@@ -84,27 +94,49 @@ class _MState(NamedTuple):
     pending: jax.Array     # [W,3] unshadowed weighted NEE contribution
     nxt_o: jax.Array       # [W,3] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
-    acc: jax.Array         # [P,3] per-pixel accumulated radiance
+    acc: jax.Array         # [C,3] chunk-local accumulated radiance
 
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
                                    "sample_environment", "steps_per_iter",
-                                   "mini_splits", "debug_counters"))
+                                   "mini_splits", "chunk_pixels",
+                                   "debug_counters"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
-                  steps_per_iter: int = 12, mini_splits: int = 3,
+                  steps_per_iter: int = 0, mini_splits: int = 0,
+                  chunk_pixels: int = 0,
                   debug_counters: bool = False):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
     width: lane count W of the persistent wavefront (0 = P, capped).
+
+    chunk_pixels: pixel-queue chunk size (0 = auto). The persistent while
+    loop runs once per chunk with a CHUNK-LOCAL accumulator; chunk images
+    are emitted as scan outputs and concatenated. Keeping the in-loop
+    state small is a measured v5e requirement: a full-image [P,3]
+    accumulator in the while carry blew VMEM residency for the loop body
+    and cost ~3.4 ms of spill traffic per iteration at 1080p
+    (docs/ROADMAP.md revised cost model). The image is invariant to the
+    chunking because every RNG stream is keyed by GLOBAL pixel id.
     """
+    steps_per_iter = steps_per_iter or STEPS_PER_ITER
+    mini_splits = mini_splits or MINI_SPLITS
     p_total = px.shape[0]
-    w = min(width or p_total, p_total)
+    if chunk_pixels:
+        c_pix = min(chunk_pixels, p_total)
+    else:
+        c_pix = min(p_total, max(4 * (width or p_total), 1 << 17))
+    n_chunks = -(-p_total // c_pix)
+    w = min(width or c_pix, c_pix)
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
+    pad = n_chunks * c_pix - p_total
+    if pad:
+        pxf = jnp.concatenate([pxf, jnp.broadcast_to(pxf[-1:], (pad,))])
+        pyf = jnp.concatenate([pyf, jnp.broadcast_to(pyf[-1:], (pad,))])
     fstep = make_fused_step(scene)
     mats = scene.materials
     do_nee_stage = use_mis and scene.num_lights > 0
@@ -112,7 +144,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     def ids2(pid, lit):
         return pid * _ID_STRIDE + lit
 
-    def transition(s: _MState) -> _MState:
+    # The per-chunk machine below closes over nothing chunk-dependent;
+    # chunk-local pixel arrays, the local queue length and the global-id
+    # base are threaded explicitly so one trace serves every chunk.
+    def transition(s: _MState, pxc, pyc, gbase) -> _MState:
         ts = s.ts
         drained = (ts.flag < 0) & (s.pid >= 0)
         pid, lit, depth = s.pid, s.lit, s.depth
@@ -124,11 +159,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         ms = common.MediumStack(s.ms_stack, s.ms_top)
         pending, nxt_o, nxt_d = s.pending, s.nxt_o, s.nxt_d
         rays = s.rays
-        did = ids2(pid, lit)
+        did = ids2(gbase + pid, lit)
 
         # ------ 1. resolve drained shadow lanes ---------------------------
         sh_done = drained & s.is_shadow
-        li = li + jnp.where(sh_done[:, None], pending * ts.scale, 0.0)
+        li = li + jnp.where(sh_done[:, None], pending * ts.scale.T, 0.0)
         pending = jnp.where(sh_done[:, None], 0.0, pending)
         # alive shadow lanes continue with the stored BSDF ray
         cont = sh_done & alive
@@ -259,21 +294,22 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         lit = jnp.where(cl_done, lit + 1, lit)
 
         # ------ 3. retire finished paths + refill from the pixel queue ----
-        acc = s.acc.at[jnp.where(dead, pid, p_total)].add(
+        acc = s.acc.at[jnp.where(dead, pid, c_pix)].add(
             jnp.where(dead[:, None], li, 0.0), mode="drop")
         pid = jnp.where(dead, -1, pid)
 
-        want = (pid < 0) & (s.next_px < p_total)
+        want = (pid < 0) & (s.next_px < c_pix)
         rank = jnp.cumsum(want.astype(jnp.int32))
         new_pid = s.next_px + rank - 1
-        got = want & (new_pid < p_total)
+        got = want & (new_pid < c_pix)
         n_new = jnp.sum(got.astype(jnp.int32))
         next_px = s.next_px + n_new
         pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
-        go, gd = camera.generate_rays(cam_key, pxf[gp], pyf[gp],
-                                      ids=ids2(jnp.where(got, new_pid, 0),
-                                               jnp.zeros_like(new_pid)))
+        go, gd = camera.generate_rays(
+            cam_key, pxc[gp], pyc[gp],
+            ids=ids2(gbase + jnp.where(got, new_pid, 0),
+                     jnp.zeros_like(new_pid)))
         # fresh path registers for refilled lanes
         g2 = got[:, None]
         li = jnp.where(g2, 0.0, li)
@@ -333,7 +369,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         ones)."""
         ts = s.ts
         done_sh = (ts.flag < 0) & (s.pid >= 0) & s.is_shadow & s.path_alive
-        li = s.li + jnp.where(done_sh[:, None], s.pending * ts.scale, 0.0)
+        li = s.li + jnp.where(done_sh[:, None], s.pending * ts.scale.T, 0.0)
         pending = jnp.where(done_sh[:, None], 0.0, s.pending)
         ts = trav_start(ts, done_sh, jnp.full((w,), BIG_T, jnp.float32))
         o = jnp.where(done_sh[:, None], s.nxt_o, s.o)
@@ -345,27 +381,29 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                           li=li, pending=pending, rays=rays)
 
     def cond(s: _MState):
-        return (jnp.any(s.pid >= 0) | (s.next_px < p_total)) \
+        return (jnp.any(s.pid >= 0) | (s.next_px < c_pix)) \
             & (s.it < 1 << 26)
 
-    def body(s: _MState):
-        # straight-line body: steps_per_iter traversal node-steps, then the
-        # transition UNCONDITIONALLY. A lax.cond around the transition
-        # measured ~4x the per-iteration cost: the conditional breaks the
-        # while-carry aliasing and the whole state (including the [P,3]
-        # accumulator) gets copied every iteration.
-        skip = jnp.full((w,), -1, jnp.int32)
-        msplit = max(1, min(mini_splits, steps_per_iter))
-        per_group = max(1, steps_per_iter // msplit)
-        for g in range(msplit):
-            ts = s.ts
-            for _ in range(per_group):
-                ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
-            s = s._replace(ts=ts)
-            if g + 1 < msplit:
-                s = mini(s)
-        s = s._replace(it=s.it + 1)
-        return transition(s)
+    def make_body(pxc, pyc, gbase):
+        def body(s: _MState):
+            # straight-line body: steps_per_iter traversal node-steps, then
+            # the transition UNCONDITIONALLY. A lax.cond around the
+            # transition measured ~4x the per-iteration cost: the
+            # conditional breaks the while-carry aliasing and the whole
+            # state gets copied every iteration.
+            skip = jnp.full((w,), -1, jnp.int32)
+            msplit = max(1, min(mini_splits, steps_per_iter))
+            per_group = max(1, steps_per_iter // msplit)
+            for g in range(msplit):
+                ts = s.ts
+                for _ in range(per_group):
+                    ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
+                s = s._replace(ts=ts)
+                if g + 1 < msplit:
+                    s = mini(s)
+            s = s._replace(it=s.it + 1)
+            return transition(s, pxc, pyc, gbase)
+        return body
 
     z3 = jnp.zeros((w, 3), jnp.float32)
     ms0 = common.MediumStack.make(w, mats.priority[0])
@@ -389,8 +427,24 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         eta_t=jnp.full((w,), EPSILON, jnp.float32),
         ms_stack=ms0.stack, ms_top=ms0.top,
         pending=z3, nxt_o=z3, nxt_d=jnp.ones((w, 3), jnp.float32),
-        acc=jnp.zeros((p_total, 3), jnp.float32))
-    out = jax.lax.while_loop(cond, body, init)
+        acc=jnp.zeros((c_pix, 3), jnp.float32))
+
+    def chunk_body(_, ci):
+        pxc = jax.lax.dynamic_slice_in_dim(pxf, ci * c_pix, c_pix)
+        pyc = jax.lax.dynamic_slice_in_dim(pyf, ci * c_pix, c_pix)
+        out = jax.lax.while_loop(cond, make_body(pxc, pyc, ci * c_pix),
+                                 init)
+        return 0, (out.acc, out.rays, out.it, out.fires)
+
+    if n_chunks == 1:
+        out = jax.lax.while_loop(cond, make_body(pxf, pyf, jnp.int32(0)),
+                                 init)
+        acc, rays, it, fires = out.acc, out.rays, out.it, out.fires
+    else:
+        _, (accs, rayss, its, firess) = jax.lax.scan(
+            chunk_body, 0, jnp.arange(n_chunks, dtype=jnp.int32))
+        acc = accs.reshape(-1, 3)[:p_total]
+        rays, it, fires = rayss.sum(), its.sum(), firess.sum()
     if debug_counters:
-        return out.acc, out.rays, out.it, out.fires
-    return out.acc, out.rays
+        return acc, rays, it, fires
+    return acc, rays

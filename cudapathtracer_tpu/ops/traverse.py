@@ -51,8 +51,22 @@ COMPACT_FRAC = int(_os.environ.get("TPT_COMPACT_FRAC", "8"))
 MIN_COMPACT_WIDTH = int(_os.environ.get("TPT_MIN_COMPACT_WIDTH", "8192"))
 
 
+def _take_lanes(a, idx, n):
+    """Gather lanes `idx` from a state array: along the LAST axis when that
+    axis is the lane axis (lane-major arrays like the BVH8 stack [D,N] or
+    [3,N] ray components), else along axis 0 ([N] / [N,3] arrays). The
+    shape test is unambiguous because compaction only runs for
+    n > MIN_COMPACT_WIDTH >> any minor dimension."""
+    return a[..., idx] if a.shape[-1] == n else a[idx]
+
+
+def _put_lanes(a, idx, b, n):
+    return (a.at[..., idx].set(b) if a.shape[-1] == n
+            else a.at[idx].set(b))
+
+
 def _compacted_while(step, init, n):
-    """Run `step` (state tuple of [N]-leading arrays; state[0] = cursor,
+    """Run `step` (state tuple of [N]-carrying arrays; state[0] = cursor,
     -1 = done) to completion using recursive straggler compaction."""
     if n <= MIN_COMPACT_WIDTH:
         def cond(s):
@@ -79,9 +93,9 @@ def _compacted_while(step, init, n):
     # compact stragglers (duplicate fill slots recompute lane idx[0] and
     # scatter identical values — harmless)
     idx = jnp.nonzero(s[0] >= 0, size=n_sub, fill_value=0)[0]
-    sub = tuple(a[idx] for a in s)
+    sub = tuple(_take_lanes(a, idx, n) for a in s)
     sub = _compacted_while(step, sub, n_sub)
-    return tuple(a.at[idx].set(b) for a, b in zip(s, sub))
+    return tuple(_put_lanes(a, idx, b, n) for a, b in zip(s, sub))
 
 
 class Hit(NamedTuple):

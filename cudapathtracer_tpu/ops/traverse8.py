@@ -1,4 +1,4 @@
-"""BVH8 wavefront traversal with a vectorized per-lane stack.
+"""BVH8 wavefront traversal with a vectorized per-lane stack — LANE-MAJOR.
 
 Companion engine to ops/traverse.py (threaded binary): each while-loop step
 pops ONE entry per lane, gathers ONE unified row (scene/bvh8.py CBVH
@@ -6,11 +6,17 @@ layout: sibling rows contiguous, child = base + slot), and either
 slab-tests all 8 children at once (inner row — a single packed int key per
 child is distance-sorted with an odd-even network; the nearest is entered
 directly, the rest pushed far->near) or Möller-Trumbore-tests the inline
-leaf triangles (leaf row). The stack is [N, D] int32 manipulated with
-one-hot masks — wide VPU ops, no per-lane memory indirection.
+leaf triangles (leaf row).
 
-Per-ray gather count drops ~3-4x vs the binary thread; the gather is the
-dominant per-step cost on TPU, so this is the headline Mrays/s engine.
+LAYOUT: everything per-lane rides the 128-wide TPU lane dimension — the
+wavefront axis N is the MINOR axis of every multi-row array (stack [D,N],
+gathered row transposed to [64,N], ray components as separate [N] rows).
+The row-major [N,8]/[N,4]/[N,28] formulation wastes ~15/16 of every vector
+register on lane padding: measured on v5e, the identical slab-test math
+runs 11.7x faster as [6,8,N] than as [N,6,8], and the fused step dropped
+~4x overall when this module was transposed. The [N,64] row gather itself
+is nearly free (~3 us at 104k lanes, measured) — the cost was always the
+VPU work around it.
 """
 
 from __future__ import annotations
@@ -20,10 +26,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cudapathtracer_tpu.ops.intersect import BIG_T, moller_trumbore, safe_inv_dir
+from cudapathtracer_tpu.ops.intersect import (BIG_T, DET_EPS,
+                                              safe_inv_dir)
 from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
                                              LEAF_MAT_FLAG)
-from cudapathtracer_tpu.utils.math import normalize
 
 # Stack depth: with descend-direct traversal (the nearest hit child is
 # entered immediately instead of being pushed) the measured worst-case
@@ -44,46 +50,29 @@ _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
           (2, 4), (3, 5),
           (1, 2), (3, 4), (5, 6)]
 
-
-def _slab8(row, o, inv_d, t_best):
-    """8-wide slab test from the coordinate-grouped row. Returns
-    (tmin8 [N,8], hit8 [N,8])."""
-    b = row[:, 0:48].reshape(-1, 6, 8)
-    t1 = (b[:, 0:3] - o[:, :, None]) * inv_d[:, :, None]   # [N,3,8]
-    t2 = (b[:, 3:6] - o[:, :, None]) * inv_d[:, :, None]
-    tmin8 = jnp.max(jnp.minimum(t1, t2), axis=1)
-    tmax8 = jnp.min(jnp.maximum(t1, t2), axis=1)
-    hit8 = (tmax8 >= tmin8) & (tmax8 > 0.0) & (tmin8 < t_best[:, None])
-    return tmin8, hit8
+_KEY_INVALID = 0x7FFFFFFF  # sorts last ascending; unreachable by real keys
 
 
 def _pop(stack, top, want):
     """Pop the top entry on `want` lanes. Returns (entry [N], stack, top).
 
-    Top-at-column-0 discipline: the popped value is a FREE contiguous
-    slice and the shift is a contiguous masked copy. (A top-pointer stack
-    needs a one-hot reduction over [N,D] per pop, which profiling showed
-    costs as much as the row gather itself.) Unlike a pointer bump, the
-    shift MUTATES the stack, so the caller must pass the true pop
+    Top-at-ROW-0 discipline: the popped value is a free row slice and the
+    shift is a contiguous masked copy of full-lane rows. Unlike a pointer
+    bump, the shift MUTATES the stack, so the caller must pass the true pop
     condition — lanes that keep their descend-direct entry must not
     shift."""
     has = want & (top > 0)
-    entry = jnp.where(has, stack[:, 0], -1)
-    shifted = jnp.concatenate([stack[:, 1:], stack[:, :1]], axis=1)
-    stack = jnp.where(has[:, None], shifted, stack)
+    entry = jnp.where(has, stack[0], -1)
+    shifted = jnp.concatenate([stack[1:], stack[:1]], axis=0)
+    stack = jnp.where(has[None, :], shifted, stack)
     return entry, stack, jnp.where(has, top - 1, top)
 
 
-_KEY_INVALID = 0x7FFFFFFF  # sorts last ascending; unreachable by real keys
-
-
 def _sort8_keys(ks):
-    """Odd-even network sort of 8 packed int32 keys, ASCENDING — one
+    """Odd-even network sort of 8 packed int32 [N] keys, ASCENDING — one
     min/max pair per comparator (the CBVH layout lets metas be
     reconstructed arithmetically after the sort, so only the key array is
-    permuted: ~1/3 the network traffic of sorting (key, meta, mask)
-    triples, which profiling showed was the largest non-gather cost of a
-    traversal step)."""
+    permuted)."""
     ks = list(ks)
     for a, b in _SORT8:
         lo = jnp.minimum(ks[a], ks[b])
@@ -92,28 +81,24 @@ def _sort8_keys(ks):
     return ks
 
 
-def _child_meta8(row, is_node, hit8):
-    """Per-slot child entries of a CBVH node row: child_base + slot, with
-    the leaf-row flag in bit 30. Returns (meta8 [N,8] i32, live [N,8])."""
-    cb = _i32(row[:, 48:50])
-    base, leaf_mask = cb[:, 0], cb[:, 1]
-    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
-    leaf8 = (leaf_mask[:, None] >> slots) & 1
-    meta8 = (base[:, None] + slots) | (leaf8 << 30)
-    return meta8, is_node[:, None] & hit8
+def _node_stage(rowT, oT, inv_dT, t_cut, is_node):
+    """Ordered CBVH node stage on the transposed row [64,N]: slab-test all
+    8 children ([3,8,N] math — full lanes), sort a single packed key
+    (tmin bits | leaf flag | slot) per slot, reconstruct child rows as
+    child_base + slot. Returns (direct — nearest hit child entry or -1;
+    deferred — 7 near-first deferred [N] entries; count [N])."""
+    n = rowT.shape[1]
+    b = rowT[0:48].reshape(6, 8, n)
+    t1 = (b[0:3] - oT[:, None, :]) * inv_dT[:, None, :]   # [3,8,N]
+    t2 = (b[3:6] - oT[:, None, :]) * inv_dT[:, None, :]
+    tmin8 = jnp.max(jnp.minimum(t1, t2), axis=0)          # [8,N]
+    tmax8 = jnp.min(jnp.maximum(t1, t2), axis=0)
+    hit8 = (tmax8 >= tmin8) & (tmax8 > 0.0) & (tmin8 < t_cut[None, :])
 
-
-def _node_stage(row, o, inv_d, t_cut, is_node):
-    """Ordered CBVH node stage: slab-test all 8 children, sort a single
-    packed key (tmin bits | leaf flag | slot) per slot, reconstruct child
-    rows as child_base + slot. Returns (direct — nearest hit child entry or
-    -1; deferred — 7 near-first deferred children; count — how many are
-    live, for _push_block)."""
-    tmin8, hit8 = _slab8(row, o, inv_d, t_cut)
-    cb = _i32(row[:, 48:50])
-    base, leaf_mask = cb[:, 0], cb[:, 1]
-    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
-    leaf8 = (leaf_mask[:, None] >> slots) & 1
+    cb = _i32(rowT[48:50])                                # [2,N]
+    base, leaf_mask = cb[0], cb[1]
+    slots = jnp.arange(8, dtype=jnp.int32)[:, None]       # [8,1]
+    leaf8 = (leaf_mask[None, :] >> slots) & 1
     # IEEE total-order trick: int bits sort like the float once negative
     # patterns have their low 31 bits flipped — NEGATIVE tmins (boxes
     # straddling the origin, common for secondary rays) must keep their
@@ -122,10 +107,10 @@ def _node_stage(row, o, inv_d, t_cut, is_node):
     # a 16-ulp bucket break arbitrarily, which only affects visit order.
     tb = jax.lax.bitcast_convert_type(tmin8, jnp.int32)
     tb = jnp.where(tb >= 0, tb, tb ^ jnp.int32(0x7FFFFFFF))
-    key = (tb & jnp.int32(~15)) | (leaf8 << 3) | slots
-    live = is_node[:, None] & hit8
+    key = (tb & jnp.int32(~15)) | (leaf8 << 3) | slots    # [8,N]
+    live = is_node[None, :] & hit8
     key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
-    ks = _sort8_keys([key[:, i] for i in range(8)])
+    ks = _sort8_keys([key[i] for i in range(8)])
     metas = []
     count = jnp.zeros_like(base)
     for i, k in enumerate(ks):
@@ -139,95 +124,136 @@ def _node_stage(row, o, inv_d, t_cut, is_node):
 
 def _push_block(stack, top, deferred, count):
     """Push `count[n]` of the (up to 7) NEAR-FIRST `deferred` entries per
-    lane in one block: shift the stack right by count via three masked
-    power-of-two shifts, then write the new entries into FIXED columns
-    0..count-1 — contiguous copies and column writes only, no one-hot
-    scatters. Overflow drops the DEEPEST entries (shifted off the end) and
-    flags `lost`; callers restart those lanes from the root."""
-    d_cols = stack.shape[1]
+    lane in one block: shift the stack down by count via three masked
+    power-of-two row shifts, then write the new entries into FIXED rows
+    0..count-1 — contiguous full-lane copies and row writes only. Overflow
+    drops the DEEPEST entries (shifted off the end) and flags `lost`;
+    callers restart those lanes from the root."""
+    d_rows = stack.shape[0]
     for bit in (4, 2, 1):
         m = (count & bit) != 0
-        shifted = jnp.concatenate([stack[:, :bit], stack[:, :-bit]], axis=1)
-        stack = jnp.where(m[:, None], shifted, stack)
-    head = [jnp.where(i < count, deferred[i], stack[:, i]) for i in range(7)]
-    stack = jnp.concatenate([jnp.stack(head, axis=1), stack[:, 7:]], axis=1)
+        shifted = jnp.concatenate([stack[:bit], stack[:-bit]], axis=0)
+        stack = jnp.where(m[None, :], shifted, stack)
+    head = [jnp.where(i < count, deferred[i], stack[i]) for i in range(7)]
+    stack = jnp.concatenate([jnp.stack(head, axis=0), stack[7:]], axis=0)
     new_top = top + count
-    lost = new_top > d_cols
-    return stack, jnp.minimum(new_top, d_cols), lost
+    lost = new_top > d_rows
+    return stack, jnp.minimum(new_top, d_rows), lost
 
 
-def _leaf_tris(row, o, d, t_cut, skip_tri, is_leaf, lt):
-    """Batched Möller-Trumbore over the row's `lt` inline triangles.
+def _mt9(oT, dT, tri9, t_cut, skip_tri, active, tid):
+    """Möller-Trumbore on one leaf slot's transposed triangle rows.
 
-    One [N,lt]-wide evaluation instead of lt narrow per-column passes —
-    narrow slices of a gathered row are re-materialized per consumer by
-    XLA:TPU (measured ~2x whole-traversal cost), wide ops are not.
+    oT, dT: [3,N]; tri9: [9,N] (v0, e1, e2 component rows). Every op is a
+    full-lane [N] vector op. Returns (t, u, v, ok) each [N]."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (tri9[i] for i in range(9))
+    ox, oy, oz = oT[0], oT[1], oT[2]
+    dx, dy, dz = dT[0], dT[1], dT[2]
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = hx * e1x + hy * e1y + hz * e1z
+    ok_det = jnp.abs(a) >= DET_EPS
+    f = 1.0 / jnp.where(ok_det, a, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+          & active & (tid >= 0) & (t < t_cut) & (tid != skip_tri))
+    return t, u, v, ok
 
-    Returns (tt, uu, vv, ok, tid, raw) all [N,lt]."""
-    tris = row[:, 0:9 * lt].reshape(-1, lt, 9)
-    tt, uu, vv, ok = moller_trumbore(o[:, None, :], d[:, None, :],
-                                     tris[..., 0:3], tris[..., 3:6],
-                                     tris[..., 6:9])
-    raw = _i32(row[:, 9 * lt:10 * lt])
-    tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)
-    ok = (ok & is_leaf[:, None] & (tid >= 0) & (tt < t_cut[:, None])
-          & (tid != skip_tri[:, None]))
+
+def _leaf_tris(rowT, oT, dT, t_cut, skip_tri, is_leaf, lt):
+    """Batched Möller-Trumbore over the row's `lt` inline triangles —
+    per-slot full-lane component math (no [N,lt,3] minor-dim padding).
+
+    Returns per-slot lists (tt, uu, vv, ok, tid) and raw [lt,N]."""
+    raw = _i32(rowT[9 * lt:10 * lt])                      # [lt,N]
+    tt, uu, vv, ok, tid = [], [], [], [], []
+    for j in range(lt):
+        tidj = jnp.where(raw[j] < 0, -1, raw[j] & ~LEAF_MAT_FLAG)
+        t, u, v, okj = _mt9(oT, dT, rowT[9 * j:9 * j + 9], t_cut, skip_tri,
+                            is_leaf, tidj)
+        tt.append(t)
+        uu.append(u)
+        vv.append(v)
+        ok.append(okj)
+        tid.append(tidj)
     return tt, uu, vv, ok, tid, raw
 
 
 def _leaf_closest(tt, uu, vv, ok, tid, t_best, tri, u, v):
     """Fold the row's best triangle hit into (t_best, tri, u, v) via a
-    packed-key min (slot index in the low mantissa bits — unique winner,
-    no cumsum tie-break pass). Exact t ties resolve to the first slot like
-    the sequential reference loop."""
-    lt = tt.shape[1]
-    slots = jnp.arange(lt, dtype=jnp.int32)[None, :]
-    tb = jax.lax.bitcast_convert_type(jnp.maximum(tt, 0.0), jnp.int32)
+    packed-key min (slot index in the low mantissa bits — unique winner).
+    Exact t ties resolve to the first slot like the sequential reference
+    loop."""
+    lt = len(tt)
     mask_bits = jnp.int32(~3) if lt <= 4 else jnp.int32(~15)
-    key = jnp.where(ok, (tb & mask_bits) | slots, jnp.int32(_KEY_INVALID))
-    kmin = jnp.min(key, axis=1)
+    keys = []
+    for j in range(lt):
+        tb = jax.lax.bitcast_convert_type(jnp.maximum(tt[j], 0.0), jnp.int32)
+        keys.append(jnp.where(ok[j], (tb & mask_bits) | j,
+                              jnp.int32(_KEY_INVALID)))
+    kmin = keys[0]
+    for k in keys[1:]:
+        kmin = jnp.minimum(kmin, k)
     hit = kmin != _KEY_INVALID
-    sel = key == kmin[:, None]          # exactly one (slot bits unique)
-    pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
-    t_best = jnp.where(hit, pick(tt), t_best)
-    tri = jnp.where(hit, pick(tid), tri)
-    u = jnp.where(hit, pick(uu), u)
-    v = jnp.where(hit, pick(vv), v)
-    return t_best, tri, u, v
+    nt, ntri, nu, nv = t_best, tri, u, v
+    for j in range(lt):
+        sel = keys[j] == kmin                 # exactly one (slot bits unique)
+        win = sel & hit
+        nt = jnp.where(win, tt[j], nt)
+        ntri = jnp.where(win, tid[j], ntri)
+        nu = jnp.where(win, uu[j], nu)
+        nv = jnp.where(win, vv[j], nv)
+    return nt, ntri, nu, nv
 
 
-def _leaf_shadow(scene, with_leaf, d, tt, uu, vv, ok, tid, raw, row, scale,
-                 blocked):
-    """Fold the row's triangle occlusions into (scale, blocked) — batched
-    across the 4 slots. MAT_LEAF transmissions multiply commutatively; the
-    darkness early-out (<0.01) is applied after the row's full product
+def _leaf_shadow(scene, with_leaf, dT, uu, vv, ok, tid, raw, scale, blocked):
+    """Fold the row's triangle occlusions into (scale [3,N], blocked [N]) —
+    per-slot full-lane math. MAT_LEAF transmissions multiply commutatively;
+    the darkness early-out (<0.01) is applied after the row's full product
     (BVHShadowRay applies it per hit in traversal order — same fixpoint,
     the running scale only ever shrinks)."""
-    oks = ok & ~blocked[:, None]
+    lt = len(ok)
     if with_leaf:
-        is_leaf_mat = (raw >= 0) & ((raw & LEAF_MAT_FLAG) != 0)
-        srow = scene.tri_shadow[jnp.maximum(tid, 0)]        # [N,lt,16]
-        n3 = srow[..., 0:9].reshape(-1, tid.shape[1], 3, 3)
-        mat4 = srow[..., 9:13]
-        ior = srow[..., 13]
-        w0 = 1.0 - uu - vv
-        nrm = normalize(n3[:, :, 0] * w0[..., None]
-                        + n3[:, :, 1] * uu[..., None]
-                        + n3[:, :, 2] * vv[..., None])
-        cos_t = jnp.abs(jnp.sum(d[:, None, :] * nrm, axis=-1))
-        r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-        fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-        leaf_scale = mat4[..., 0:3] * mat4[..., 3:4] * (1.0 - fres)[..., None]
-        pass_leaf = oks & is_leaf_mat
-        factor = jnp.prod(jnp.where(pass_leaf[..., None], leaf_scale, 1.0),
-                          axis=1)
-        scale = scale * factor
-        opaque = jnp.any(oks & ~is_leaf_mat, axis=1)
-        dark = jnp.max(scale, axis=-1) < 0.01
-        blocked = blocked | opaque | (jnp.any(pass_leaf, axis=1) & dark)
+        factor = [jnp.ones_like(scale[0]) for _ in range(3)]
+        opaque = jnp.zeros_like(blocked)
+        any_leaf = jnp.zeros_like(blocked)
+        for j in range(lt):
+            okj = ok[j] & ~blocked
+            is_leaf_mat = (raw[j] >= 0) & ((raw[j] & LEAF_MAT_FLAG) != 0)
+            srowT = scene.tri_shadow[jnp.maximum(tid[j], 0)].T   # [16,N]
+            w0 = 1.0 - uu[j] - vv[j]
+            nx = srowT[0] * w0 + srowT[3] * uu[j] + srowT[6] * vv[j]
+            ny = srowT[1] * w0 + srowT[4] * uu[j] + srowT[7] * vv[j]
+            nz = srowT[2] * w0 + srowT[5] * uu[j] + srowT[8] * vv[j]
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+            cos_t = jnp.abs(dT[0] * nx + dT[1] * ny + dT[2] * nz) * inv_len
+            ior = srowT[13]
+            r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            fres = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+            pass_leaf = okj & is_leaf_mat
+            tmul = srowT[12] * (1.0 - fres)
+            for c in range(3):
+                factor[c] = factor[c] * jnp.where(pass_leaf,
+                                                  srowT[9 + c] * tmul, 1.0)
+            opaque = opaque | (okj & ~is_leaf_mat)
+            any_leaf = any_leaf | pass_leaf
+        scale = scale * jnp.stack(factor, axis=0)
+        dark = jnp.max(scale, axis=0) < 0.01
+        blocked = blocked | opaque | (any_leaf & dark)
     else:
-        blocked = blocked | jnp.any(oks, axis=1)
-    scale = jnp.where(blocked[:, None], 0.0, scale)
+        anyhit = ok[0]
+        for j in range(1, lt):
+            anyhit = anyhit | ok[j]
+        blocked = blocked | (anyhit & ~blocked)
+    scale = jnp.where(blocked[None, :], 0.0, scale)
     return scale, blocked
 
 
@@ -240,7 +266,7 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
     if skip_tri is None:
         skip_tri = jnp.full((n,), -1, jnp.int32)
-    inv_d = safe_inv_dir(d)
+    oT, dT, inv_dT = o.T, d.T, safe_inv_dir(d).T
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
     leaf_bit = jnp.int32(1 << 30)
@@ -251,10 +277,10 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     if active is not None:
         direct0 = jnp.where(active, direct0, -1)
     top0 = jnp.zeros((n,), jnp.int32)
-    stack0 = jnp.zeros((n, STACK_D), jnp.int32)
+    stack0 = jnp.zeros((STACK_D, n), jnp.int32)
 
-    def step(flag, direct, stack, top, lostc, t_best, tri, u, v, o, d, inv_d,
-             skip_tri):
+    def step(flag, direct, stack, top, lostc, t_best, tri, u, v, oT, dT,
+             inv_dT, skip_tri):
         use_direct = direct >= 0
         popped, stack, top = _pop(stack, top, ~use_direct)
         entry = jnp.where(use_direct, direct, popped)
@@ -263,21 +289,19 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         is_leaf = valid & ((entry & leaf_bit) != 0)
         is_node = valid & ~is_leaf
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        # THE gather [N,64]; the barrier pins ONE materialization (XLA:TPU
-        # otherwise re-issues the gather per consuming slice, measured +18%)
-        row = table[rowid]
+        rowT = table[rowid].T   # THE gather, transposed to [64,N]
 
         # ---- inner-node branch: packed-key sort, descend nearest,
         # push deferred siblings far->near
-        new_direct, deferred, kpush = _node_stage(row, o, inv_d, t_best,
+        new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, t_best,
                                                   is_node)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         # encode pending loss in lostc's low bit; restarts in higher bits
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- leaf branch: batched leaf-triangle test (one wide [N,lt] pass)
-        tt, uu, vv, ok, tid, _raw = _leaf_tris(row, o, d, t_best, skip_tri,
-                                               is_leaf, lt)
+        # ---- leaf branch: per-slot full-lane triangle tests
+        tt, uu, vv, ok, tid, _raw = _leaf_tris(rowT, oT, dT, t_best,
+                                               skip_tri, is_leaf, lt)
         t_best, tri, u, v = _leaf_closest(tt, uu, vv, ok, tid,
                                           t_best, tri, u, v)
 
@@ -290,26 +314,26 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         direct = jnp.where(redo, 0, direct)
         lostc = jnp.where(redo, (restarts + 1) << 1, lostc)
         flag = jnp.where((direct >= 0) | (top > 0), 1, -1).astype(jnp.int32)
-        return (flag, direct, stack, top, lostc, t_best, tri, u, v, o, d,
-                inv_d, skip_tri)
+        return (flag, direct, stack, top, lostc, t_best, tri, u, v, oT, dT,
+                inv_dT, skip_tri)
 
     init = (jnp.where(direct0 >= 0, 1, -1).astype(jnp.int32), direct0,
             stack0, top0, jnp.zeros((n,), jnp.int32),
             max_t, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-            o, d, inv_d, skip_tri)
+            oT, dT, inv_dT, skip_tri)
     out = _compacted_while(step, init, n)
     return Hit(t=out[5], tri=out[6], u=out[7], v=out[8])
 
 
 def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     """BVH8 any-hit shadow traversal with MAT_LEAF transmission; drop-in for
-    traverse.shadow_factor."""
+    traverse.shadow_factor. Returns scale [N,3]."""
     n = o.shape[0]
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
     if skip_tri is None:
         skip_tri = jnp.full((n,), -1, jnp.int32)
-    inv_d = safe_inv_dir(d)
+    oT, dT, inv_dT = o.T, d.T, safe_inv_dir(d).T
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
     with_leaf = scene.has_leaf_materials
@@ -319,9 +343,9 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     if active is not None:
         direct0 = jnp.where(active, direct0, -1)
     top0 = jnp.zeros((n,), jnp.int32)
-    stack0 = jnp.zeros((n, STACK_D), jnp.int32)
+    stack0 = jnp.zeros((STACK_D, n), jnp.int32)
 
-    def step(flag, direct, stack, top, lostc, scale, o, d, inv_d, max_t,
+    def step(flag, direct, stack, top, lostc, scale, oT, dT, inv_dT, max_t,
              skip_tri):
         use_direct = direct >= 0
         popped, stack, top = _pop(stack, top, ~use_direct)
@@ -331,20 +355,20 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         is_leaf = valid & ((entry & leaf_bit) != 0)
         is_node = valid & ~is_leaf
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        row = table[rowid]
+        rowT = table[rowid].T
 
         # ordered stage for any-hit too: the sort is ~38 cheap wide ops
         # and the block push requires the near-first prefix order
-        new_direct, deferred, kpush = _node_stage(row, o, inv_d, max_t,
+        new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, max_t,
                                                   is_node)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        tt, uu, vv, ok, tid, raw = _leaf_tris(row, o, d, max_t, skip_tri,
+        tt, uu, vv, ok, tid, raw = _leaf_tris(rowT, oT, dT, max_t, skip_tri,
                                               is_leaf, lt)
         blocked = jnp.zeros_like(entry, dtype=bool)
-        scale, blocked = _leaf_shadow(scene, with_leaf, d, tt, uu, vv, ok,
-                                      tid, raw, row, scale, blocked)
+        scale, blocked = _leaf_shadow(scene, with_leaf, dT, uu, vv, ok,
+                                      tid, raw, scale, blocked)
 
         direct = new_direct
         top = jnp.where(blocked, 0, top)
@@ -356,18 +380,17 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         restarts = lostc >> 1
         redo = drained & ((lostc & 1) == 1) & (restarts < MAX_RESTARTS)
         direct = jnp.where(redo, 0, direct)
-        scale = jnp.where(redo[:, None], 1.0, scale)
+        scale = jnp.where(redo[None, :], 1.0, scale)
         lostc = jnp.where(redo, (restarts + 1) << 1, lostc)
         flag = jnp.where((direct >= 0) | (top > 0), 1, -1).astype(jnp.int32)
-        return (flag, direct, stack, top, lostc, scale, o, d, inv_d, max_t,
-                skip_tri)
+        return (flag, direct, stack, top, lostc, scale, oT, dT, inv_dT,
+                max_t, skip_tri)
 
     init = (jnp.where(direct0 >= 0, 1, -1).astype(jnp.int32), direct0,
             stack0, top0, jnp.zeros((n,), jnp.int32),
-            jnp.ones((n, 3), jnp.float32), o, d, inv_d, max_t, skip_tri)
+            jnp.ones((3, n), jnp.float32), oT, dT, inv_dT, max_t, skip_tri)
     out = _compacted_while(step, init, n)
-    return out[5]
-
+    return out[5].T
 
 
 class TravState(NamedTuple):
@@ -375,14 +398,14 @@ class TravState(NamedTuple):
     means the lane's traversal is drained (or was never started)."""
     flag: jax.Array     # [N] i32: 1 in flight, -1 drained/idle
     direct: jax.Array   # [N] i32 next entry (descend-direct), -1 none
-    stack: jax.Array    # [N, STACK_D] i32
+    stack: jax.Array    # [STACK_D, N] i32 (lane-major)
     top: jax.Array      # [N] i32
     lostc: jax.Array    # [N] i32 pending-loss bit + restart count
     t_cut: jax.Array    # [N] closest: running t_best; shadow: max_t
     tri: jax.Array      # [N] i32 best hit (closest lanes)
     u: jax.Array        # [N]
     v: jax.Array        # [N]
-    scale: jax.Array    # [N,3] shadow transmission product
+    scale: jax.Array    # [3,N] shadow transmission product (lane-major)
 
 
 def trav_idle(n) -> TravState:
@@ -391,13 +414,13 @@ def trav_idle(n) -> TravState:
     return TravState(
         flag=jnp.full((n,), -1, jnp.int32),
         direct=jnp.full((n,), -1, jnp.int32),
-        stack=jnp.zeros((n, STACK_D), jnp.int32),
+        stack=jnp.zeros((STACK_D, n), jnp.int32),
         top=jnp.zeros((n,), jnp.int32),
         lostc=jnp.zeros((n,), jnp.int32),
         t_cut=jnp.full((n,), BIG_T, jnp.float32),
         tri=jnp.full((n,), -1, jnp.int32),
         u=z, v=z,
-        scale=jnp.ones((n, 3), jnp.float32))
+        scale=jnp.ones((3, n), jnp.float32))
 
 
 def trav_start(ts: TravState, mask, t_lim) -> TravState:
@@ -413,14 +436,15 @@ def trav_start(ts: TravState, mask, t_lim) -> TravState:
         t_cut=sel(t_lim, ts.t_cut),
         tri=sel(-1, ts.tri).astype(jnp.int32),
         u=sel(0.0, ts.u), v=sel(0.0, ts.v),
-        scale=jnp.where(mask[:, None], 1.0, ts.scale))
+        scale=jnp.where(mask[None, :], 1.0, ts.scale))
 
 
 def make_fused_step(scene):
     """Build the one-node-step transition for mixed closest/shadow lanes.
 
-    Returns step(ts, o, d, inv_d, skip_tri, is_shadow) -> TravState. Lanes
-    with ts.flag < 0 are no-ops (they still ride the lockstep ops). The
+    Returns step(ts, o, d, inv_d, skip_tri, is_shadow) -> TravState with
+    o/d/inv_d as [N,3] (transposed internally once per call). Lanes with
+    ts.flag < 0 are no-ops (they still ride the lockstep ops). The
     mega-wavefront integrator embeds this step directly in its path loop;
     trace_fused8 wraps it with the straggler-compacted while."""
     table = scene.bvh8_table
@@ -429,6 +453,13 @@ def make_fused_step(scene):
     leaf_bit = jnp.int32(1 << 30)
 
     def step(ts: TravState, o, d, inv_d, skip_tri, is_shadow) -> TravState:
+        oT, dT, inv_dT = o.T, d.T, inv_d.T
+        return step_t(ts, oT, dT, inv_dT, skip_tri, is_shadow)
+
+    def step_t(ts: TravState, oT, dT, inv_dT, skip_tri,
+               is_shadow) -> TravState:
+        """Lane-major variant: oT/dT/inv_dT are [3,N] (callers that keep
+        their ray registers lane-major skip the per-step transposes)."""
         (flag, direct, stack, top, lostc, t_cut, tri, u, v, scale) = ts
         use_direct = direct >= 0
         popped, stack, top = _pop(stack, top, ~use_direct)
@@ -438,25 +469,25 @@ def make_fused_step(scene):
         is_leaf = valid & ((entry & leaf_bit) != 0)
         is_node = valid & ~is_leaf
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        row = table[rowid]  # THE gather [N,64]
+        rowT = table[rowid].T   # THE gather [N,64] -> [64,N]
 
         # ---- inner node: closest lanes benefit from the near-first
         # descent order; shadow lanes ride along (order-agnostic)
-        new_direct, deferred, kpush = _node_stage(row, o, inv_d, t_cut,
+        new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, t_cut,
                                                   is_node)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- leaf: batched leaf-triangle test, mode-split bookkeeping
-        tt, uu, vv, ok, tid, raw = _leaf_tris(row, o, d, t_cut, skip_tri,
+        # ---- leaf: per-slot full-lane tests, mode-split bookkeeping
+        tt, uu, vv, ok, tid, raw = _leaf_tris(rowT, oT, dT, t_cut, skip_tri,
                                               is_leaf, lt)
-        okc = ok & ~is_shadow[:, None]
+        okc = [o_ & ~is_shadow for o_ in ok]
         t_cut, tri, u, v = _leaf_closest(tt, uu, vv, okc, tid,
                                          t_cut, tri, u, v)
         blocked = jnp.zeros_like(entry, dtype=bool)
-        scale, blocked = _leaf_shadow(scene, with_leaf, d, tt, uu, vv,
-                                      ok & is_shadow[:, None], tid, raw,
-                                      row, scale, blocked)
+        oks = [o_ & is_shadow for o_ in ok]
+        scale, blocked = _leaf_shadow(scene, with_leaf, dT, uu, vv, oks,
+                                      tid, raw, scale, blocked)
 
         direct = new_direct
         top = jnp.where(blocked, 0, top)
@@ -468,23 +499,19 @@ def make_fused_step(scene):
         restarts = lostc >> 1
         redo = drained & ((lostc & 1) == 1) & (restarts < MAX_RESTARTS)
         direct = jnp.where(redo, 0, direct)
-        scale = jnp.where((redo & is_shadow)[:, None], 1.0, scale)
+        scale = jnp.where((redo & is_shadow)[None, :], 1.0, scale)
         lostc = jnp.where(redo, (restarts + 1) << 1, lostc)
         flag = jnp.where((direct >= 0) | (top > 0), 1, -1).astype(jnp.int32)
         return TravState(flag, direct, stack, top, lostc, t_cut, tri, u, v,
                          scale)
+
+    step.lane_major = step_t
     return step
 
 
 def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
     """Mixed-mode traversal: closest-hit lanes and any-hit shadow lanes in
-    ONE wavefront loop (ROADMAP perf item 1).
-
-    Integrators that defer NEE resolution by one bounce have both the next
-    closest ray and the previous bounce's shadow ray in hand at once; tracing
-    them as a single 2N wavefront averages the tail lengths of the two
-    populations (straggler compaction then keeps the active fraction high)
-    and halves the number of while-loop cascades per bounce.
+    ONE wavefront loop.
 
     Per lane, `is_shadow` selects semantics:
       False — closest-hit: t_lim is the initial t_best; returns Hit fields.
@@ -492,26 +519,26 @@ def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
               integratorUtilities.cuh:188-288): t_lim is max_t; returns
               `scale` (1 clear / 0 occluded / transmission product).
 
-    Returns (Hit, scale) — Hit rows meaningful on closest lanes, scale rows
-    on shadow lanes.
+    Returns (Hit, scale [N,3]) — Hit rows meaningful on closest lanes,
+    scale rows on shadow lanes.
     """
     n = o.shape[0]
     t_lim = jnp.broadcast_to(jnp.asarray(t_lim, jnp.float32), (n,))
     if skip_tri is None:
         skip_tri = jnp.full((n,), -1, jnp.int32)
-    inv_d = safe_inv_dir(d)
-    fstep = make_fused_step(scene)
+    oT, dT, inv_dT = o.T, d.T, safe_inv_dir(d).T
+    fstep = make_fused_step(scene).lane_major
 
     act = jnp.ones((n,), bool) if active is None else active
     ts0 = trav_start(trav_idle(n), act, t_lim)
 
     def step(flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
-             o, d, inv_d, skip_tri, is_shadow):
+             oT, dT, inv_dT, skip_tri, is_shadow):
         ts = TravState(flag, direct, stack, top, lostc, t_cut, tri, u, v,
                        scale)
-        ts = fstep(ts, o, d, inv_d, skip_tri, is_shadow)
-        return (*ts, o, d, inv_d, skip_tri, is_shadow)
+        ts = fstep(ts, oT, dT, inv_dT, skip_tri, is_shadow)
+        return (*ts, oT, dT, inv_dT, skip_tri, is_shadow)
 
-    init = (*ts0, o, d, inv_d, skip_tri, is_shadow)
+    init = (*ts0, oT, dT, inv_dT, skip_tri, is_shadow)
     out = _compacted_while(step, init, n)
-    return Hit(t=out[5], tri=out[6], u=out[7], v=out[8]), out[9]
+    return Hit(t=out[5], tri=out[6], u=out[7], v=out[8]), out[9].T

@@ -13,6 +13,11 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 # CPU XLA compile time explodes with the unrolled traversal body; one step
 # per while iteration keeps the suite fast (TPU default is 4)
 os.environ.setdefault("TPT_STEPS_PER_ITER", "1")
+# Same for the persistent mega-wavefront schedule (TPU default 24/6):
+# XLA:CPU compile is super-linear in the unrolled body (132s at spi=8 on a
+# 16x16 golden). The image is schedule-invariant, so goldens still match.
+os.environ.setdefault("TPT_MEGA_STEPS_PER_ITER", "1")
+os.environ.setdefault("TPT_MEGA_MINI_SPLITS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,13 +1,19 @@
 """Golden regression tests (SURVEY.md §4 test pyramid, level 3): fixed-seed
 renders compared by RMSE against stored outputs — the framework's version of
-the reference's saveImageCSV_MONO numeric-diff workflow (imageUtil.cu:123)."""
+the reference's saveImageCSV_MONO numeric-diff workflow (imageUtil.cu:123).
+
+One golden per integrator family (unidirectional, mega-wavefront, BDPT,
+VCM, SPPM). Regenerate deliberately with tools/gen_goldens.py only when an
+estimator change is intended."""
 
 import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from cudapathtracer_tpu.models import unidirectional
+from cudapathtracer_tpu.models import (bdpt, unidirectional,
+                                       unidirectional_mega, vcm)
 from cudapathtracer_tpu.scene import builtin
 from cudapathtracer_tpu.scene.camera import Camera
 from cudapathtracer_tpu.scene.materials import builtin_materials
@@ -15,23 +21,66 @@ from cudapathtracer_tpu.scene.scene import build_scene
 from cudapathtracer_tpu.utils import rng
 from cudapathtracer_tpu.utils.image import rmse
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
-                      "cornell_uni_16x16_8spp.npy")
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+SIZE, SPP = 16, 8
 
 
-def test_golden_cornell_unidirectional():
+@pytest.fixture(scope="module")
+def setup():
     scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
-    cam = Camera.pinhole((0.0, 0.0, 1.0), 16, 16, 0.0, 0.0, 0.0, 60.0)
-    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(16))
-    px, py = px.ravel(), py.ravel()
+    cam = Camera.pinhole((0.0, 0.0, 1.0), SIZE, SIZE, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(SIZE), jnp.arange(SIZE))
+    return scene, cam, px.ravel(), py.ravel()
+
+
+def _check(setup, fn, golden_name):
+    scene, cam, px, py = setup
     key = rng.base_key()
-    acc = np.zeros((256, 3), np.float32)
-    for s in range(8):
-        li, _ = unidirectional.render_sample(scene, cam, key, s, px, py,
-                                             max_depth=6)
+    acc = np.zeros((SIZE * SIZE, 3), np.float32)
+    for s in range(SPP):
+        li, _ = fn(scene, cam, key, s, px, py)
         acc += np.asarray(li)
-    img = acc / 8
-    golden = np.load(GOLDEN)
-    # Threefry keying is bit-stable; allow only accumulation-order noise
-    assert rmse(img, golden) < 1e-4, \
-        f"golden drift: rmse={rmse(img, golden):.2e}"
+    img = acc / SPP
+    golden = np.load(os.path.join(GOLD, golden_name))
+    # Threefry keying is bit-stable, but XLA:CPU reassociation differs
+    # slightly across processes/flag sets (measured up to ~3e-4 rmse on a
+    # ~0.7-mean image). Any real estimator change moves pixels by >>1e-2
+    # at 8 spp, so 1e-3 separates noise from drift cleanly.
+    err = rmse(img, golden)
+    assert err < 1e-3, f"golden drift vs {golden_name}: rmse={err:.2e}"
+
+
+def test_golden_unidirectional(setup):
+    _check(setup, lambda sc, c, k, s, px, py: unidirectional.render_sample(
+        sc, c, k, s, px, py, max_depth=6), "cornell_uni_16x16_8spp.npy")
+
+
+def test_golden_mega(setup):
+    """The persistent mega-wavefront integrator is a different (equally
+    valid) noise realization than the classic — it has its OWN golden, and
+    the image must be invariant to lane scheduling (width)."""
+    for width in (128, 64):
+        _check(setup, lambda sc, c, k, s, px, py:
+               unidirectional_mega.render_sample(
+                   sc, c, k, s, px, py, max_depth=6, width=width),
+               "cornell_mega_16x16_8spp.npy")
+
+
+def test_golden_bdpt(setup):
+    cfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
+    _check(setup, lambda sc, c, k, s, px, py: bdpt.render_sample(
+        sc, c, k, s, px, py, cfg=cfg), "cornell_bdpt_16x16_8spp.npy")
+
+
+def test_golden_vcm(setup):
+    cfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
+    _check(setup, lambda sc, c, k, s, px, py: vcm.render_sample(
+        sc, c, k, s, px, py, cfg=cfg), "cornell_vcm_16x16_8spp.npy")
+
+
+def test_golden_sppm(setup):
+    cfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
+                        nee=False, naive=False, connection=False,
+                        do_mis=False, do_sppm=True)
+    _check(setup, lambda sc, c, k, s, px, py: vcm.render_sample(
+        sc, c, k, s, px, py, cfg=cfg), "cornell_sppm_16x16_8spp.npy")
