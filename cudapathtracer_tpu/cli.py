@@ -15,10 +15,32 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 
+def _assert_platform_env() -> None:
+    """Make the JAX_PLATFORMS environment contract hold unconditionally.
+
+    jax snapshots JAX_PLATFORMS at import, but an embedding interpreter
+    (e.g. a sitecustomize that registers a remote-TPU PJRT plugin) may
+    have imported jax first AND overwritten the live config with its own
+    platform order. A user who launches the CLI with JAX_PLATFORMS=cpu
+    must get cpu regardless, so re-assert the env var onto the live
+    config before any backend initializes."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:  # pragma: no cover - jax missing/locked config
+        pass
+
+
 def main(argv=None) -> int:
+    _assert_platform_env()
     ap = argparse.ArgumentParser(prog="cudapathtracer_tpu",
                                  description=__doc__)
     ap.add_argument("config", nargs="?", default="configs/config.rendertron")
