@@ -157,6 +157,44 @@ def cornell_with_bunny(subdivisions: int = 6, bunny_mat: int = 2) -> MeshData:
     return m
 
 
+def cornell_pool(water_mat: int = 10, water_y: float = -0.2) -> MeshData:
+    """Cornell box with a horizontal water surface at y=water_y: the floor
+    is visible AND lit only through the smooth-dielectric plane, so every
+    floor-lighting path is Specular-Diffuse-Specular — the class BDPT's
+    connection/NEE strategies cannot sample (every shadow ray crosses the
+    water boundary) but VCM/SPPM photon merging handles (the reference's
+    signature capability, README §Problems-with-BDPT).
+
+    The quad extends past the box so camera rays entering through the open
+    front face also refract before reaching the floor; its normal faces +y
+    (up, toward the light)."""
+    m = cornell_box()
+    e = 2.0  # overhang past the open viewing face
+    quad(m, (-e, water_y, e), (e, water_y, e), (e, water_y, -e),
+         (-e, water_y, -e), water_mat)
+    return m
+
+
+def cornell_glass_core(glass_mat: int = 5, core_mat: int = 2,
+                       center=(0.0, -0.1, 0.0), r_glass: float = 0.24,
+                       r_core: float = 0.15) -> MeshData:
+    """Cornell box + a diffuse sphere fully enclosed in a glass shell — the
+    airtight Specular-Diffuse-Specular construction: every path lighting
+    the core is L -> S -> D(core) -> S -> E. NEE and light-trace splats are
+    blocked by the shell; s>=2 connections between two core vertices are
+    occluded by the core itself (the chord of a convex body lies inside
+    it); only the s=0 naive chain remains for BDPT, so with BDPT_NAIVE off
+    the core is unreachable for BDPT while VCM/SPPM photon merging renders
+    it (the reference's signature capability, README §Problems-with-BDPT)."""
+    m = cornell_box()
+    c = np.asarray(center, np.float32)
+    for rad, mat in ((r_glass, glass_mat), (r_core, core_mat)):
+        v, f = icosphere(3, rad, center)
+        n = (v - c) / np.linalg.norm(v - c, axis=1, keepdims=True)
+        m.add(v, f, mat, normals=n, nrm_idx=f)
+    return m
+
+
 def checker_texture(size: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.2, 0.2, 0.6)):
     """Procedural checker — placeholder for the reference's missing BMP
     textures. Returns flat [size*size, 3] f32 atlas block."""
