@@ -118,6 +118,7 @@ class Renderer:
         self.metrics.pixels = n
         self.accum = jnp.zeros((n, 3), jnp.float32)
         self.sample_count = 0
+        self._overlay = None  # BDPT_DRAWPATH channel, built lazily
 
     # ------------------------------------------------------------------
     def _sample_fn(self):
@@ -192,10 +193,23 @@ class Renderer:
 
     # ------------------------------------------------------------------
     def framebuffer(self) -> np.ndarray:
-        """Scrubbed, normalized [H,W,3] image (cleanAndFormatImage path)."""
+        """Scrubbed, normalized [H,W,3] image (cleanAndFormatImage path).
+        With BDPT_DRAWPATH set (bidirectional family only), the eye-path
+        overlay is composited over the render exactly like the reference's
+        overlay buffer (integratorUtilities.cuh:368-372)."""
         cfg = self.cfg
         acc = np.asarray(self.accum).reshape(cfg.height, cfg.width, 3)
-        return scrub(acc, max(self.sample_count, 1))
+        img = scrub(acc, max(self.sample_count, 1))
+        if (cfg.bdpt_draw_path
+                and cfg.integrator in ("BIDIRECTIONAL", "VCM", "SPPM")):
+            if self._overlay is None:
+                from cudapathtracer_tpu.utils import debugviz
+                self._overlay = debugviz.bdpt_path_overlay(
+                    self.scene, self.camera, rng.sample_key(self.key, 0),
+                    self.px, self.py, eye_depth=max(cfg.bdpt_eye_depth, 2))
+            from cudapathtracer_tpu.utils.debugviz import composite_overlay
+            img = composite_overlay(img, self._overlay)
+        return img
 
     def finish(self) -> Image:
         cfg = self.cfg

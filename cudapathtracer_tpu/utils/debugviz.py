@@ -79,6 +79,52 @@ def paint_grid_box(overlay: np.ndarray, camera, cell_min, cell_max,
     return overlay
 
 
+def bdpt_path_overlay(scene, camera, key, px, py, eye_depth: int,
+                      max_paths: int = 48) -> np.ndarray:
+    """BDPT_DRAWPATH channel: rasterize eye paths into an overlay
+    (deviceCode.cu:1796-1800 — the reference calls drawPath on a pixel's eye
+    path whenever one of its (t,s) connectPath attempts fails, which in
+    practice marks nearly every pixel and the overlays overwrite each other;
+    the usable form of the same diagnostic is a deterministic sparse subset
+    of pixels, drawn camera-endpoint -> deepest vertex with a per-path
+    pseudo-random color like the reference's curand color draw).
+    """
+    import jax.numpy as jnp
+
+    from cudapathtracer_tpu.models import paths as paths_mod
+    from cudapathtracer_tpu.utils import rng as rng_mod
+
+    n = int(px.shape[0])
+    stride = max(n // max_paths, 1)
+    sel = np.arange(0, n, stride, dtype=np.int32)[:max_paths]
+    pxs = jnp.asarray(np.asarray(px)[sel])
+    pys = jnp.asarray(np.asarray(py)[sel])
+    ids = rng_mod.pixel_ids(pxs, pys)
+    bufs, v0, _rays = paths_mod.generate_eye_path(
+        scene, camera, key, pxs, pys, max_depth=eye_depth, ids=ids)
+
+    overlay = make_overlay(camera.width, camera.height)
+    pts = np.asarray(bufs.pt)            # [D, S, 3]
+    valid = np.asarray(bufs.valid)       # [D, S]
+    origins = np.asarray(v0["pt"])       # [S, 3]
+    for i in range(pts.shape[1]):
+        depth = int(valid[:, i].argmin()) if not valid[:, i].all() \
+            else valid.shape[0]
+        if valid[:, i].size and not valid[0, i]:
+            depth = 0
+        chain = np.concatenate([origins[i][None], pts[:depth, i]], axis=0)
+        if chain.shape[0] < 2:
+            continue
+        # per-path color from a hash of the pixel id (the reference uses
+        # three curand draws; any decorrelated color stream is equivalent)
+        h = (int(sel[i]) * 2654435761) & 0xFFFFFFFF
+        color = (0.25 + 0.75 * ((h >> 0) & 255) / 255.0,
+                 0.25 + 0.75 * ((h >> 8) & 255) / 255.0,
+                 0.25 + 0.75 * ((h >> 16) & 255) / 255.0)
+        draw_path(overlay, camera, chain, color)
+    return overlay
+
+
 def composite_overlay(image: np.ndarray, overlay: np.ndarray) -> np.ndarray:
     """Overlay overrides the render where non-black
     (integratorUtilities.cuh:368-372)."""

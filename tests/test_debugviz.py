@@ -37,6 +37,38 @@ def test_grid_box_and_photon_heatmap():
     assert ov2[..., 0].max() > 0.05  # density accumulates
 
 
+def test_bdpt_path_overlay_draws_paths():
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    cam = make_cam()
+    px, py = jnp.meshgrid(jnp.arange(32), jnp.arange(32))
+    ov = debugviz.bdpt_path_overlay(scene, cam, rng.base_key(),
+                                    px.ravel(), py.ravel(), eye_depth=4,
+                                    max_paths=8)
+    assert ov.shape == (32, 32, 3)
+    assert (ov != 0).any(), "eye paths must rasterize into the overlay"
+
+
+def test_drawpath_channel_composites_in_driver(tmp_path):
+    from cudapathtracer_tpu.driver import Renderer
+    from cudapathtracer_tpu.utils.config import RenderConfig
+
+    base = dict(width=24, height=24, sample_count=1, integrator="BIDIRECTIONAL",
+                bdpt_eye_depth=3, bdpt_light_depth=2,
+                pinhole_camera=True, cam_pos=(0.0, 0.0, 1.0),
+                meshes=[], output_dir=str(tmp_path))
+    cfg_off = RenderConfig(**base)
+    cfg_on = RenderConfig(**base, bdpt_draw_path=True)
+    from cudapathtracer_tpu.scene import builtin as b
+    mesh = b.cornell_with_blocks()
+    r_off = Renderer(cfg_off, mesh=mesh)
+    r_on = Renderer(cfg_on, mesh=mesh)
+    r_off.render(num_samples=1, progressive=False, verbose=False)
+    r_on.render(num_samples=1, progressive=False, verbose=False)
+    fb_off = r_off.framebuffer()
+    fb_on = r_on.framebuffer()
+    assert (fb_off != fb_on).any(), "DRAWPATH overlay must change the image"
+
+
 def test_debug_print_path(capsys):
     scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
     cam = make_cam()
