@@ -1,4 +1,4 @@
-"""Persistent mega-wavefront unidirectional path tracer.
+"""Persistent mega-wavefront unidirectional path tracer — LANE-MAJOR.
 
 Same estimator as models/unidirectional.py (Li_unidirectional,
 deviceCode.cu:285-542: NEE + power-2 MIS, nested-dielectric priority
@@ -10,7 +10,11 @@ measured v5e cost model:
     whose mean useful depth is ~12 rows) — persistence removes the tails;
   * the traversal step cost is VPU work in LANE-MAJOR layout, not the row
     gather (~3 us at 104k lanes; revised cost model, docs/ROADMAP.md);
-  * keyed-RNG draws are cheap.
+  * the TRANSITION (shade/NEE/BSDF/refill) was the second-largest cost
+    (~6.4 ms of a 19.2 ms 1080p iteration) in row-major [W,3]/[W,16]
+    layout — every per-lane vector now rides the 128-wide lane dimension
+    as [3,W] / [S,W] via ops/lanemajor.py, the same transposition that
+    took the traversal step 4x faster.
 
 Design: ONE fixed-width lane machine. Every loop iteration advances a
 mixed closest/shadow BVH8 node-step for all lanes
@@ -37,16 +41,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cudapathtracer_tpu.models import common
-from cudapathtracer_tpu.ops import bsdf as bsdf_ops
+from cudapathtracer_tpu.ops import lanemajor as lm
 from cudapathtracer_tpu.ops import traverse
-from cudapathtracer_tpu.ops.intersect import BIG_T, safe_inv_dir
+from cudapathtracer_tpu.ops.intersect import BIG_T
 from cudapathtracer_tpu.ops.traverse8 import (TravState, make_fused_step,
                                               trav_idle, trav_start)
 from cudapathtracer_tpu.utils import rng
-from cudapathtracer_tpu.utils.math import (EPSILON, RAY_EPSILON,
-                                           length_sq, luminance, normalize,
-                                           to_local, to_world)
+from cudapathtracer_tpu.utils.math import EPSILON, RAY_EPSILON
 
 HARD_DEPTH_CAP = 100   # deviceCode.cu:318
 LIT_CAP = HARD_DEPTH_CAP + 32
@@ -73,26 +74,26 @@ class _MState(NamedTuple):
     it: jax.Array          # scalar i32 loop counter
     fires: jax.Array       # scalar i32 transition-firing counter
     next_px: jax.Array     # scalar i32 pixel queue head
-    ts: TravState          # [W] traversal registers
-    o: jax.Array           # [W,3] current traversal ray
+    ts: TravState          # [W] traversal registers (lane-major stack/scale)
+    o: jax.Array           # [3,W] current traversal ray
     d: jax.Array
     inv_d: jax.Array
     is_shadow: jax.Array   # [W] bool traversal mode
     pid: jax.Array         # [W] i32 pixel index into px/py; -1 = idle lane
     lit: jax.Array         # [W] i32 per-lane bounce/draw counter
     depth: jax.Array       # [W] i32 path depth (false hits do not advance)
-    beta: jax.Array        # [W,3]
-    li: jax.Array          # [W,3] current path radiance
+    beta: jax.Array        # [3,W]
+    li: jax.Array          # [3,W] current path radiance
     path_alive: jax.Array  # [W] bool (false while flushing a final shadow)
     prev_pdf: jax.Array
     hit_nonspec: jax.Array
-    prev_point: jax.Array
+    prev_point: jax.Array  # [3,W]
     eta_i: jax.Array
     eta_t: jax.Array
-    ms_stack: jax.Array
+    ms_stack: jax.Array    # [S,W]
     ms_top: jax.Array
-    pending: jax.Array     # [W,3] unshadowed weighted NEE contribution
-    nxt_o: jax.Array       # [W,3] BSDF-sampled next ray (waits on shadow)
+    pending: jax.Array     # [3,W] unshadowed weighted NEE contribution
+    nxt_o: jax.Array       # [3,W] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
     acc: jax.Array         # [C,3] chunk-local accumulated radiance
 
@@ -137,7 +138,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     if pad:
         pxf = jnp.concatenate([pxf, jnp.broadcast_to(pxf[-1:], (pad,))])
         pyf = jnp.concatenate([pyf, jnp.broadcast_to(pyf[-1:], (pad,))])
-    fstep = make_fused_step(scene)
+    fstep = make_fused_step(scene).lane_major
     mats = scene.materials
     do_nee_stage = use_mis and scene.num_lights > 0
 
@@ -156,15 +157,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         prev_pdf, hit_nonspec = s.prev_pdf, s.hit_nonspec
         prev_point = s.prev_point
         eta_i, eta_t = s.eta_i, s.eta_t
-        ms = common.MediumStack(s.ms_stack, s.ms_top)
+        ms = lm.MediumStackT(s.ms_stack, s.ms_top)
         pending, nxt_o, nxt_d = s.pending, s.nxt_o, s.nxt_d
         rays = s.rays
         did = ids2(gbase + pid, lit)
 
         # ------ 1. resolve drained shadow lanes ---------------------------
         sh_done = drained & s.is_shadow
-        li = li + jnp.where(sh_done[:, None], pending * ts.scale.T, 0.0)
-        pending = jnp.where(sh_done[:, None], 0.0, pending)
+        li = li + jnp.where(sh_done[None, :], pending * ts.scale, 0.0)
+        pending = jnp.where(sh_done[None, :], 0.0, pending)
         # alive shadow lanes continue with the stored BSDF ray
         cont = sh_done & alive
         dead = sh_done & ~alive
@@ -173,10 +174,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         cl_done = drained & ~s.is_shadow
         hit = traverse.Hit(t=ts.t_cut, tri=jnp.where(cl_done, ts.tri, -1),
                            u=ts.u, v=ts.v)
-        info, mat = traverse.shade_data(scene, s.o, s.d, hit)
+        info, mat = lm.shade_dataT(scene, s.o, s.d, hit)
         miss = cl_done & ~hit.valid
-        li = li + jnp.where(miss[:, None],
-                            beta * common.sample_sky(s.d, sample_environment),
+        li = li + jnp.where(miss[None, :],
+                            beta * lm.sample_skyT(s.d, sample_environment),
                             0.0)
         dead = dead | miss
         hitv = cl_done & hit.valid
@@ -184,16 +185,16 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         mat_id = info["mat_id"]
         backface = info["backface"]
         normal = info["normal"]
-        wi_local = to_local(s.d, normal)
-        albedo = bsdf_ops.resolve_albedo(scene, mat, info["uv"])
-        trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
+        wi_local = lm.to_localT(s.d, normal)
+        albedo = lm.resolve_albedoT(scene, mat, info["uv"])
+        trans = lm.resolve_transmissionT(scene, mat, info["uv"])
         is_specular = mat.is_specular
 
         # dominant medium + Beer (deviceCode.cu:345-369)
-        dom_id, dom_pri = common.dominant_medium(ms)
-        absorb = common.table_lookup(mats.absorption, dom_id)
-        att = jnp.exp(-absorb * hit.t[:, None])
-        beta = jnp.where((hitv & (hit.t > EPSILON))[:, None], beta * att,
+        dom_id, dom_pri = lm.dominant_mediumT(ms)
+        absorb = lm.table_lookup3T(mats.absorption, dom_id)
+        att = jnp.exp(-absorb * hit.t[None, :])
+        beta = jnp.where((hitv & (hit.t > EPSILON))[None, :], beta * att,
                          beta)
 
         # boundary / priority logic (deviceCode.cu:372-432)
@@ -201,10 +202,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         true_hit = ~(is_boundary & (mat.priority > dom_pri)) | ~hitv
         false_hit = hitv & ~true_hit
 
-        dom_ior = common.table_lookup(mats.ior, dom_id)
-        second = common.second_lowest_medium(ms, mat_id)
-        eta_t_exit = jnp.where(ms.top == 1, 1.0,
-                               common.table_lookup(mats.ior, second))
+        dom_ior = mats.ior[dom_id]
+        second = lm.second_lowest_mediumT(ms, mat_id)
+        eta_t_exit = jnp.where(ms.top == 1, 1.0, mats.ior[second])
         is_dielectric_hit = (hitv & true_hit & is_boundary
                              & (mat.type == 2))
         eta_i = jnp.where(is_dielectric_hit, dom_ior, eta_i)
@@ -213,77 +213,78 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         non_boundary = hitv & ~is_boundary
         eta_i = jnp.where(non_boundary, dom_ior, eta_i)
 
-        ms = common.stack_push(ms, mat_id, mat.priority,
-                               false_hit & ~backface)
-        ms = common.stack_remove(ms, mat_id, false_hit & backface)
+        ms = lm.stack_pushT(ms, mat_id, mat.priority,
+                            false_hit & ~backface)
+        ms = lm.stack_removeT(ms, mat_id, false_hit & backface)
 
         # emission (deviceCode.cu:438-455)
-        emissive = length_sq(info["emission"]) > EPSILON
+        emissive = lm.length_sqT(info["emission"]) > EPSILON
         direct_view = (depth == 0) | ~hit_nonspec
         shade = hitv & true_hit
         add_direct = shade & emissive & direct_view
-        li = li + jnp.where(add_direct[:, None], beta * info["emission"], 0.0)
+        li = li + jnp.where(add_direct[None, :], beta * info["emission"],
+                            0.0)
 
         start_shadow = jnp.zeros_like(drained)
         if use_mis:
-            light_pdf_hit = common.nee_pdf(
+            light_pdf_hit = lm.nee_pdfT(
                 scene, prev_point, info["point"],
                 info["normal_a"], info["area"])
-            w_bsdf = common.power2_weight(prev_pdf, light_pdf_hit)
+            w_bsdf = lm.power2_weight(prev_pdf, light_pdf_hit)
             add_mis = (shade & emissive & ~direct_view & ~is_specular
                        & (light_pdf_hit > EPSILON))
-            li = li + jnp.where(add_mis[:, None],
-                                beta * info["emission"] * w_bsdf[:, None],
+            li = li + jnp.where(add_mis[None, :],
+                                beta * info["emission"] * w_bsdf[None, :],
                                 0.0)
 
         if do_nee_stage:
             do_nee = shade & ~emissive & ~is_specular
-            ns = common.nee_sample(
+            ns = lm.nee_sampleT(
                 scene, skey, _D_NEE, info["point"], normal, wi_local, mat,
                 albedo, eta_i, do_nee, ids=did, transmission=trans)
-            bsdf_pdf_nee = bsdf_ops.bsdf_pdf(mat, -wi_local, ns.wo_local,
-                                             eta_i, transmission=trans)
-            w_nee = common.power2_weight(ns.light_pdf, bsdf_pdf_nee)
-            pending = jnp.where(ns.active[:, None],
-                                beta * ns.contrib * w_nee[:, None], pending)
+            bsdf_pdf_nee = lm.bsdf_pdfT(mat, -wi_local, ns.wo_local,
+                                        eta_i, transmission=trans)
+            w_nee = lm.power2_weight(ns.light_pdf, bsdf_pdf_nee)
+            pending = jnp.where(ns.active[None, :],
+                                beta * ns.contrib * w_nee[None, :], pending)
             start_shadow = ns.active
             rays = rays + jnp.sum(ns.active.astype(jnp.int32))
 
         # BSDF sampling (deviceCode.cu:476-479)
-        wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
+        wo_local, f_val, pdf = lm.bsdf_sampleT(
             skey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=did,
             transmission=trans)
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
-        refracted = wo_local[..., 2] < 0.0
-        ms = common.stack_push(ms, mat_id, mat.priority,
-                               shade & refracted & ~backface)
-        ms = common.stack_remove(ms, mat_id, shade & refracted & backface)
+        refracted = wo_local[2] < 0.0
+        ms = lm.stack_pushT(ms, mat_id, mat.priority,
+                            shade & refracted & ~backface)
+        ms = lm.stack_removeT(ms, mat_id, shade & refracted & backface)
 
-        new_beta = beta * f_val * (jnp.abs(wo_local[..., 2]) / pdf)[:, None]
-        beta = jnp.where(shade[:, None], new_beta, beta)
+        new_beta = beta * f_val * (jnp.abs(wo_local[2]) / pdf)[None, :]
+        beta = jnp.where(shade[None, :], new_beta, beta)
 
-        wo_world = normalize(to_world(wo_local, normal))
-        side = jnp.where(wo_local[..., 2] > 0.0, 1.0, -1.0)
-        o_true = info["point"] + normal * (side * EPSILON)[:, None]
+        wo_world = lm.normalizeT(lm.to_worldT(wo_local, normal))
+        side = jnp.where(wo_local[2] > 0.0, 1.0, -1.0)
+        o_true = info["point"] + normal * (side * EPSILON)[None, :]
         o_false = info["point"] + s.d * RAY_EPSILON
-        cand_o = jnp.where(shade[:, None], o_true, o_false)
-        cand_d = jnp.where(shade[:, None], wo_world, s.d)
-        nxt_o = jnp.where(hitv[:, None], cand_o, nxt_o)
-        nxt_d = jnp.where(hitv[:, None], cand_d, nxt_d)
+        cand_o = jnp.where(shade[None, :], o_true, o_false)
+        cand_d = jnp.where(shade[None, :], wo_world, s.d)
+        nxt_o = jnp.where(hitv[None, :], cand_o, nxt_o)
+        nxt_d = jnp.where(hitv[None, :], cand_d, nxt_d)
 
         prev_pdf = jnp.where(shade, pdf, prev_pdf)
-        prev_point = jnp.where(shade[:, None], info["point"], prev_point)
+        prev_point = jnp.where(shade[None, :], info["point"], prev_point)
         new_depth = depth + jnp.where(false_hit, 0, 1)
         depth = jnp.where(hitv, new_depth, depth)
 
         # Russian roulette past maxDepth (deviceCode.cu:523-532)
         rr_zone = hitv & (depth > max_depth + 1)
-        p_surv = jnp.clip(luminance(beta), 0.05, 0.99)
+        p_surv = jnp.clip(lm.luminanceT(beta), 0.05, 0.99)
         u_rr = rng.uniform_id(skey, _D_RR, did)
         killed = rr_zone & (u_rr > p_surv)
-        beta = jnp.where((rr_zone & ~killed)[:, None],
-                         beta / p_surv[:, None], beta)
+        beta = jnp.where((rr_zone & ~killed)[None, :],
+                         beta / p_surv[None, :], beta)
         hit_nonspec = jnp.where(hitv, hit_nonspec | (hitv & ~is_specular),
                                 hit_nonspec)
         lane_dead = killed | (depth >= HARD_DEPTH_CAP) | (lit >= LIT_CAP)
@@ -295,7 +296,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # ------ 3. retire finished paths + refill from the pixel queue ----
         acc = s.acc.at[jnp.where(dead, pid, c_pix)].add(
-            jnp.where(dead[:, None], li, 0.0), mode="drop")
+            jnp.where(dead[None, :], li, 0.0).T, mode="drop")
         pid = jnp.where(dead, -1, pid)
 
         want = (pid < 0) & (s.next_px < c_pix)
@@ -306,12 +307,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         next_px = s.next_px + n_new
         pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
-        go, gd = camera.generate_rays(
-            cam_key, pxc[gp], pyc[gp],
+        go, gd = lm.generate_raysT(
+            camera, cam_key, pxc[gp], pyc[gp],
             ids=ids2(gbase + jnp.where(got, new_pid, 0),
                      jnp.zeros_like(new_pid)))
         # fresh path registers for refilled lanes
-        g2 = got[:, None]
+        g2 = got[None, :]
         li = jnp.where(g2, 0.0, li)
         beta = jnp.where(g2, 1.0, beta)
         depth = jnp.where(got, 0, depth)
@@ -322,9 +323,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         prev_point = jnp.where(g2, 0.0, prev_point)
         eta_i = jnp.where(got, EPSILON, eta_i)
         eta_t = jnp.where(got, EPSILON, eta_t)
-        ms = common.MediumStack(
-            jnp.where(g2 & jnp.ones((1, ms.stack.shape[1]), bool),
-                      0, ms.stack).astype(ms.stack.dtype),
+        ms = lm.MediumStackT(
+            jnp.where(g2, 0, ms.stack).astype(ms.stack.dtype),
             jnp.where(got, 0, ms.top))
         pending = jnp.where(g2, 0.0, pending)
 
@@ -333,13 +333,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         go_shadow = start_shadow
         go_closest = (got | cont
                       | (cl_done & path_on & ~start_shadow))
-        o2 = jnp.where(go_shadow[:, None], ns.origin if do_nee_stage else s.o,
-                       jnp.where(got[:, None], go,
-                                 jnp.where((cont | cl_done)[:, None], nxt_o,
+        o2 = jnp.where(go_shadow[None, :],
+                       ns.origin if do_nee_stage else s.o,
+                       jnp.where(got[None, :], go,
+                                 jnp.where((cont | cl_done)[None, :], nxt_o,
                                            s.o)))
-        d2 = jnp.where(go_shadow[:, None], ns.dir if do_nee_stage else s.d,
-                       jnp.where(got[:, None], gd,
-                                 jnp.where((cont | cl_done)[:, None], nxt_d,
+        d2 = jnp.where(go_shadow[None, :],
+                       ns.dir if do_nee_stage else s.d,
+                       jnp.where(got[None, :], gd,
+                                 jnp.where((cont | cl_done)[None, :], nxt_d,
                                            s.d)))
         start_any = go_shadow | go_closest
         t_lim = jnp.where(go_shadow,
@@ -350,9 +352,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         ts = ts._replace(flag=jnp.where(drained & ~start_any, -1, ts.flag))
         rays = rays + jnp.sum(go_closest.astype(jnp.int32))
 
-        o2 = jnp.where(start_any[:, None], o2, s.o)
-        d2 = jnp.where(start_any[:, None], d2, s.d)
-        inv_d = jnp.where(start_any[:, None], safe_inv_dir(d2), s.inv_d)
+        o2 = jnp.where(start_any[None, :], o2, s.o)
+        d2 = jnp.where(start_any[None, :], d2, s.d)
+        inv_d = jnp.where(start_any[None, :], lm.safe_inv_dirT(d2), s.inv_d)
 
         return _MState(rays, s.it, s.fires + 1, next_px, ts, o2, d2,
                        inv_d, is_shadow,
@@ -369,12 +371,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         ones)."""
         ts = s.ts
         done_sh = (ts.flag < 0) & (s.pid >= 0) & s.is_shadow & s.path_alive
-        li = s.li + jnp.where(done_sh[:, None], s.pending * ts.scale.T, 0.0)
-        pending = jnp.where(done_sh[:, None], 0.0, s.pending)
+        li = s.li + jnp.where(done_sh[None, :], s.pending * ts.scale, 0.0)
+        pending = jnp.where(done_sh[None, :], 0.0, s.pending)
         ts = trav_start(ts, done_sh, jnp.full((w,), BIG_T, jnp.float32))
-        o = jnp.where(done_sh[:, None], s.nxt_o, s.o)
-        d = jnp.where(done_sh[:, None], s.nxt_d, s.d)
-        inv_d = jnp.where(done_sh[:, None], safe_inv_dir(d), s.inv_d)
+        o = jnp.where(done_sh[None, :], s.nxt_o, s.o)
+        d = jnp.where(done_sh[None, :], s.nxt_d, s.d)
+        inv_d = jnp.where(done_sh[None, :], lm.safe_inv_dirT(d), s.inv_d)
         is_shadow = s.is_shadow & ~done_sh
         rays = s.rays + jnp.sum(done_sh.astype(jnp.int32))
         return s._replace(ts=ts, o=o, d=d, inv_d=inv_d, is_shadow=is_shadow,
@@ -405,19 +407,20 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             return transition(s, pxc, pyc, gbase)
         return body
 
-    z3 = jnp.zeros((w, 3), jnp.float32)
-    ms0 = common.MediumStack.make(w, mats.priority[0])
+    z3 = jnp.zeros((3, w), jnp.float32)
+    ms0 = lm.MediumStackT.make(w, mats.priority[0])
+    dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
     init = _MState(
         rays=jnp.int32(0), it=jnp.int32(0), fires=jnp.int32(0),
         next_px=jnp.int32(0),
         ts=trav_idle(w),
-        o=z3, d=jnp.concatenate([jnp.ones((w, 1)), z3[:, :2]], axis=1),
-        inv_d=jnp.ones((w, 3), jnp.float32),
+        o=z3, d=dx0,
+        inv_d=jnp.ones((3, w), jnp.float32),
         is_shadow=jnp.zeros((w,), bool),
         pid=jnp.full((w,), -1, jnp.int32),
         lit=jnp.zeros((w,), jnp.int32),
         depth=jnp.zeros((w,), jnp.int32),
-        beta=jnp.ones((w, 3), jnp.float32),
+        beta=jnp.ones((3, w), jnp.float32),
         li=z3,
         path_alive=jnp.zeros((w,), bool),
         prev_pdf=jnp.full((w,), EPSILON, jnp.float32),
@@ -426,7 +429,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         eta_i=jnp.full((w,), EPSILON, jnp.float32),
         eta_t=jnp.full((w,), EPSILON, jnp.float32),
         ms_stack=ms0.stack, ms_top=ms0.top,
-        pending=z3, nxt_o=z3, nxt_d=jnp.ones((w, 3), jnp.float32),
+        pending=z3, nxt_o=z3, nxt_d=dx0,
         acc=jnp.zeros((c_pix, 3), jnp.float32))
 
     def chunk_body(_, ci):
