@@ -144,6 +144,10 @@ def run_suite(args, key):
         vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
         emit_integrator("vcm", lambda s: vcm.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=vcfg))
+        from cudapathtracer_tpu.models import vcm_mega
+        emit_integrator("vcm-mega", lambda s: vcm_mega.render_sample(
+            scene, cam_s, key, s, pxs, pys, cfg=vcfg,
+            width=min(args.width, int(pxs.shape[0]))))
         scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
                              nee=False, naive=False, connection=False,
                              do_mis=False, do_sppm=True)

@@ -132,6 +132,14 @@ class Renderer:
                     sample_environment=cfg.sample_environment)
             return step
         if integ == "UNIDIRECTIONAL":
+            if cfg.engine == "mega":
+                from cudapathtracer_tpu.models import unidirectional_mega
+                def step(sample_idx):
+                    return unidirectional_mega.render_sample(
+                        self.scene, self.camera, self.key, sample_idx,
+                        self.px, self.py, max_depth=max(cfg.max_depth, 1),
+                        sample_environment=cfg.sample_environment)
+                return step
             def step(sample_idx):
                 return uni_mod.render_sample(
                     self.scene, self.camera, self.key, sample_idx,
@@ -147,6 +155,14 @@ class Renderer:
             return step
         if integ in ("VCM", "SPPM"):
             from cudapathtracer_tpu.models import vcm as vcm_mod
+            if cfg.engine == "mega":
+                from cudapathtracer_tpu.models import vcm_mega
+                def step(sample_idx):
+                    return vcm_mega.render_sample(
+                        self.scene, self.camera, self.key, sample_idx,
+                        self.px, self.py,
+                        cfg=vcm_mod.VCMConfig.from_config(cfg))
+                return step
             def step(sample_idx):
                 return vcm_mod.render_sample(
                     self.scene, self.camera, self.key, sample_idx,

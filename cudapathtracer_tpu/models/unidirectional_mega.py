@@ -20,11 +20,13 @@ Design: ONE fixed-width lane machine. Every loop iteration advances a
 mixed closest/shadow BVH8 node-step for all lanes
 (ops/traverse8.make_fused_step). When enough lanes have drained their
 traversal, a TRANSITION block fires: it shades completed closest hits
-(one packed-row gather), resolves NEE shadows, advances paths, scatters
-finished paths' radiance into the per-pixel accumulator, and REFILLS dead
-lanes with fresh pixels from the queue — so the wavefront stays full of
-useful traversal work from the first pixel to the global drain. There are
-no per-bounce barriers and no per-call tails.
+(one packed-row gather), resolves NEE shadows, advances paths, retires
+finished paths' radiance, and REFILLS dead lanes with fresh pixels — so
+the wavefront stays full of useful traversal work from the first pixel
+to the global drain. There are no per-bounce barriers and no per-call
+tails. Pixel assignment is STATIC (lane l owns pixels g*W + l), so
+retiring is a handful of masked row-writes into a [G,3,W] buffer instead
+of a [W]-indexed scatter (measured 4.8 ms/transition on v5e).
 
 Sampling is keyed by (pixel index, per-lane bounce counter) via the
 layout-independent id streams (utils/rng.py), so the image is independent
@@ -73,12 +75,14 @@ class _MState(NamedTuple):
     rays: jax.Array        # scalar i32
     it: jax.Array          # scalar i32 loop counter
     fires: jax.Array       # scalar i32 transition-firing counter
-    next_px: jax.Array     # scalar i32 pixel queue head
+    busy: jax.Array        # scalar i32 busy lane-step counter (debug)
     ts: TravState          # [W] traversal registers (lane-major stack/scale)
     o: jax.Array           # [3,W] current traversal ray
     d: jax.Array
     inv_d: jax.Array
     is_shadow: jax.Array   # [W] bool traversal mode
+    gen: jax.Array         # [W] i32 pixel generation; lane l owns pixels
+    #                        g*W + l for g in [0, G); gen == G = exhausted
     pid: jax.Array         # [W] i32 pixel index into px/py; -1 = idle lane
     lit: jax.Array         # [W] i32 per-lane bounce/draw counter
     depth: jax.Array       # [W] i32 path depth (false hits do not advance)
@@ -95,7 +99,11 @@ class _MState(NamedTuple):
     pending: jax.Array     # [3,W] unshadowed weighted NEE contribution
     nxt_o: jax.Array       # [3,W] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
-    acc: jax.Array         # [C,3] chunk-local accumulated radiance
+    acc: jax.Array         # [G,3,W] per-generation radiance (lane-major;
+    #                        pixel g*W + l lives at [g, :, l] — retiring a
+    #                        path is G masked row-writes, NOT a scatter:
+    #                        the [W]-indexed scatter-add this replaces
+    #                        measured 4.8 ms per transition on v5e)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
@@ -125,11 +133,16 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     mini_splits = mini_splits or MINI_SPLITS
     p_total = px.shape[0]
     if chunk_pixels:
-        c_pix = min(chunk_pixels, p_total)
+        c_pix0 = min(chunk_pixels, p_total)
     else:
-        c_pix = min(p_total, max(4 * (width or p_total), 1 << 17))
+        c_pix0 = min(p_total, max(4 * (width or p_total), 1 << 17))
+    w = min(width or c_pix0, c_pix0)
+    # static pixel assignment: lane l owns pixels g*w + l, g in [0, gens);
+    # lanes whose pixel index reaches past the chunk's true count stay
+    # idle, so padding renders nothing (ray counts are width-invariant)
+    gens = -(-c_pix0 // w)
+    c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    w = min(width or c_pix, c_pix)
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
     pxf = px.astype(jnp.float32)
@@ -148,7 +161,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # The per-chunk machine below closes over nothing chunk-dependent;
     # chunk-local pixel arrays, the local queue length and the global-id
     # base are threaded explicitly so one trace serves every chunk.
-    def transition(s: _MState, pxc, pyc, gbase) -> _MState:
+    def transition(s: _MState, pxc, pyc, gbase, cnt) -> _MState:
         ts = s.ts
         drained = (ts.flag < 0) & (s.pid >= 0)
         pid, lit, depth = s.pid, s.lit, s.depth
@@ -294,18 +307,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         dead = dead | (cl_done & ~path_on & ~start_shadow)
         lit = jnp.where(cl_done, lit + 1, lit)
 
-        # ------ 3. retire finished paths + refill from the pixel queue ----
-        acc = s.acc.at[jnp.where(dead, pid, c_pix)].add(
-            jnp.where(dead[None, :], li, 0.0).T, mode="drop")
-        pid = jnp.where(dead, -1, pid)
-
-        want = (pid < 0) & (s.next_px < c_pix)
-        rank = jnp.cumsum(want.astype(jnp.int32))
-        new_pid = s.next_px + rank - 1
-        got = want & (new_pid < c_pix)
-        n_new = jnp.sum(got.astype(jnp.int32))
-        next_px = s.next_px + n_new
-        pid = jnp.where(got, new_pid, pid)
+        # ------ 3. retire finished paths + refill (static generations) ----
+        # lane l's retired radiance lands at acc[gen, :, l]: gens masked
+        # row-writes instead of the [W]-indexed scatter-add this replaces
+        # (measured 4.8 ms/transition on v5e — scatter rows serialize)
+        acc = s.acc
+        for gg in range(gens):
+            mg = (dead & (s.gen == gg))[None, :]
+            acc = acc.at[gg].set(jnp.where(mg, li, acc[gg]))
+        gen = jnp.where(dead, s.gen + 1, s.gen)
+        lane = jnp.arange(w, dtype=jnp.int32)
+        new_pid = gen * w + lane
+        got = dead & (gen < gens) & (new_pid < cnt)
+        pid = jnp.where(got, new_pid, jnp.where(dead, -1, pid))
         gp = jnp.where(got, new_pid, 0)
         go, gd = lm.generate_raysT(
             camera, cam_key, pxc[gp], pyc[gp],
@@ -356,8 +370,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         d2 = jnp.where(start_any[None, :], d2, s.d)
         inv_d = jnp.where(start_any[None, :], lm.safe_inv_dirT(d2), s.inv_d)
 
-        return _MState(rays, s.it, s.fires + 1, next_px, ts, o2, d2,
-                       inv_d, is_shadow,
+        return _MState(rays, s.it, s.fires + 1, s.busy, ts, o2, d2,
+                       inv_d, is_shadow, gen,
                        pid, lit, depth, beta, li, alive, prev_pdf,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
                        ms.top, pending, nxt_o, nxt_d, acc)
@@ -383,10 +397,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                           li=li, pending=pending, rays=rays)
 
     def cond(s: _MState):
-        return (jnp.any(s.pid >= 0) | (s.next_px < c_pix)) \
-            & (s.it < 1 << 26)
+        return jnp.any(s.pid >= 0) & (s.it < 1 << 26)
 
-    def make_body(pxc, pyc, gbase):
+    def make_body(pxc, pyc, gbase, cnt):
         def body(s: _MState):
             # straight-line body: steps_per_iter traversal node-steps, then
             # the transition UNCONDITIONALLY. A lax.cond around the
@@ -400,54 +413,71 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 ts = s.ts
                 for _ in range(per_group):
                     ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
+                    if debug_counters:
+                        s = s._replace(busy=s.busy + jnp.sum(
+                            (ts.flag >= 0).astype(jnp.int32)))
                 s = s._replace(ts=ts)
                 if g + 1 < msplit:
                     s = mini(s)
             s = s._replace(it=s.it + 1)
-            return transition(s, pxc, pyc, gbase)
+            return transition(s, pxc, pyc, gbase, cnt)
         return body
 
-    z3 = jnp.zeros((3, w), jnp.float32)
-    ms0 = lm.MediumStackT.make(w, mats.priority[0])
-    dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
-    init = _MState(
-        rays=jnp.int32(0), it=jnp.int32(0), fires=jnp.int32(0),
-        next_px=jnp.int32(0),
-        ts=trav_idle(w),
-        o=z3, d=dx0,
-        inv_d=jnp.ones((3, w), jnp.float32),
-        is_shadow=jnp.zeros((w,), bool),
-        pid=jnp.full((w,), -1, jnp.int32),
-        lit=jnp.zeros((w,), jnp.int32),
-        depth=jnp.zeros((w,), jnp.int32),
-        beta=jnp.ones((3, w), jnp.float32),
-        li=z3,
-        path_alive=jnp.zeros((w,), bool),
-        prev_pdf=jnp.full((w,), EPSILON, jnp.float32),
-        hit_nonspec=jnp.zeros((w,), bool),
-        prev_point=z3,
-        eta_i=jnp.full((w,), EPSILON, jnp.float32),
-        eta_t=jnp.full((w,), EPSILON, jnp.float32),
-        ms_stack=ms0.stack, ms_top=ms0.top,
-        pending=z3, nxt_o=z3, nxt_d=dx0,
-        acc=jnp.zeros((c_pix, 3), jnp.float32))
+    def make_init(pxc, pyc, gbase, cnt):
+        """Generation-0 launch state: every lane starts on its own pixel."""
+        z3 = jnp.zeros((3, w), jnp.float32)
+        ms0 = lm.MediumStackT.make(w, mats.priority[0])
+        dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
+        lane = jnp.arange(w, dtype=jnp.int32)
+        go, gd = lm.generate_raysT(camera, cam_key, pxc[lane], pyc[lane],
+                                   ids=ids2(gbase + lane,
+                                            jnp.zeros_like(lane)))
+        return _MState(
+            rays=jnp.int32(w), it=jnp.int32(0), fires=jnp.int32(0),
+            busy=jnp.int32(0),
+            ts=trav_start(trav_idle(w), jnp.ones((w,), bool),
+                          jnp.full((w,), BIG_T, jnp.float32)),
+            o=go, d=gd,
+            inv_d=lm.safe_inv_dirT(gd),
+            is_shadow=jnp.zeros((w,), bool),
+            gen=jnp.zeros((w,), jnp.int32),
+            pid=lane,
+            lit=jnp.zeros((w,), jnp.int32),
+            depth=jnp.zeros((w,), jnp.int32),
+            beta=jnp.ones((3, w), jnp.float32),
+            li=z3,
+            path_alive=jnp.ones((w,), bool),
+            prev_pdf=jnp.full((w,), EPSILON, jnp.float32),
+            hit_nonspec=jnp.zeros((w,), bool),
+            prev_point=z3,
+            eta_i=jnp.full((w,), EPSILON, jnp.float32),
+            eta_t=jnp.full((w,), EPSILON, jnp.float32),
+            ms_stack=ms0.stack, ms_top=ms0.top,
+            pending=z3, nxt_o=z3, nxt_d=dx0,
+            acc=jnp.zeros((gens, 3, w), jnp.float32))
+
+    def run_chunk(pxc, pyc, gbase):
+        cnt = jnp.minimum(p_total - gbase, c_pix)
+        out = jax.lax.while_loop(cond, make_body(pxc, pyc, gbase, cnt),
+                                 make_init(pxc, pyc, gbase, cnt))
+        # acc[g, :, l] is pixel g*w + l -> [gens*w, 3] chunk image
+        img = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        return img, out.rays, out.it, out.fires, out.busy
 
     def chunk_body(_, ci):
         pxc = jax.lax.dynamic_slice_in_dim(pxf, ci * c_pix, c_pix)
         pyc = jax.lax.dynamic_slice_in_dim(pyf, ci * c_pix, c_pix)
-        out = jax.lax.while_loop(cond, make_body(pxc, pyc, ci * c_pix),
-                                 init)
-        return 0, (out.acc, out.rays, out.it, out.fires)
+        return 0, run_chunk(pxc, pyc, ci * c_pix)
 
     if n_chunks == 1:
-        out = jax.lax.while_loop(cond, make_body(pxf, pyf, jnp.int32(0)),
-                                 init)
-        acc, rays, it, fires = out.acc, out.rays, out.it, out.fires
+        acc, rays, it, fires, busy = run_chunk(pxf, pyf, jnp.int32(0))
+        acc = acc[:p_total]
     else:
-        _, (accs, rayss, its, firess) = jax.lax.scan(
+        _, (accs, rayss, its, firess, busys) = jax.lax.scan(
             chunk_body, 0, jnp.arange(n_chunks, dtype=jnp.int32))
         acc = accs.reshape(-1, 3)[:p_total]
         rays, it, fires = rayss.sum(), its.sum(), firess.sum()
+        busy = busys.sum()
     if debug_counters:
-        return acc, rays, it, fires
+        return acc, rays, it, fires, busy
     return acc, rays

@@ -41,6 +41,10 @@ class RenderConfig:
 
     # Integrator settings
     integrator: str = "UNIDIRECTIONAL"
+    # framework extension ("Engine" key): "mega" = persistent lane-machine
+    # integrators (fast path, default); "classic" = per-bounce scan
+    # integrators (the oracle implementations; also the sharded path)
+    engine: str = "mega"
     sample_count: int = 0
     max_depth: int = 0                 # "Unidirectional Max Depth"
     bvh_leaf_size: int = 2
@@ -169,6 +173,7 @@ _KEYMAP = {
     "VCM Initial Merge Radius Multipler": ("vcm_initial_merge_radius_multiplier", float),
     # framework extensions
     "Seed": ("seed", int),
+    "Engine": ("engine", lambda s: s.strip().lower()),
     "Save Interval Seconds": ("save_interval_seconds", float),
     "Output Dir": ("output_dir", str),
 }

@@ -32,13 +32,13 @@ def main():
         cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
     for spi, ms, w in cfgs:
         t0 = time.perf_counter()
-        acc, rays, it, fires = mega.render_sample(
+        acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 0, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         jax.block_until_ready(acc)
         comp = time.perf_counter() - t0
         t0 = time.perf_counter()
-        acc, rays, it, fires = mega.render_sample(
+        acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 1, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         jax.block_until_ready(acc)

@@ -120,13 +120,13 @@ def main():
     # --- 4. end-to-end with counters --------------------------------------
     for spi, ms in ((12, 3), (12, 1), (24, 6), (6, 2)):
         t0 = time.perf_counter()
-        acc, rays, it, fires = mega.render_sample(
+        acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 0, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         jax.block_until_ready(acc)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        acc, rays, it, fires = mega.render_sample(
+        acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 1, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         jax.block_until_ready(acc)
@@ -138,6 +138,7 @@ def main():
         print(f"spi={spi} mini={ms}: {dtr:6.2f}s  rays={rays_i/1e6:6.1f}M  "
               f"{mrays:5.2f} Mrays/s  iters={it_i}  "
               f"lane-steps/ray={steps*w/max(rays_i,1):6.1f}  "
+              f"busy={int(busy)/max(steps*w,1):5.1%}  "
               f"us/iter={dtr/it_i*1e6:8.1f}  (compile {compile_s:.0f}s)")
 
 

@@ -77,7 +77,7 @@ def main():
     dt = it = None
     for s in (0, 1):
         t0 = time.perf_counter()
-        acc, rays, it, fires = mega.render_sample(
+        acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, s, px, py, max_depth=8, width=103680,
             steps_per_iter=24, mini_splits=6, debug_counters=True)
         jax.block_until_ready(acc)
