@@ -141,6 +141,10 @@ def run_suite(args, key):
         bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
         emit_integrator("bdpt", lambda s: bdpt.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=bcfg))
+        from cudapathtracer_tpu.models import bdpt_mega
+        emit_integrator("bdpt-mega", lambda s: bdpt_mega.render_sample(
+            scene, cam_s, key, s, pxs, pys, cfg=bcfg,
+            width=min(args.width, int(pxs.shape[0]))))
         vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
         emit_integrator("vcm", lambda s: vcm.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=vcfg))

@@ -148,6 +148,14 @@ class Renderer:
             return step
         if integ == "BIDIRECTIONAL":
             from cudapathtracer_tpu.models import bdpt as bdpt_mod
+            if cfg.engine == "mega":
+                from cudapathtracer_tpu.models import bdpt_mega
+                def step(sample_idx):
+                    return bdpt_mega.render_sample(
+                        self.scene, self.camera, self.key, sample_idx,
+                        self.px, self.py,
+                        cfg=bdpt_mod.BDPTConfig.from_config(cfg))
+                return step
             def step(sample_idx):
                 return bdpt_mod.render_sample(
                     self.scene, self.camera, self.key, sample_idx,

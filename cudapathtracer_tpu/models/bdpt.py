@@ -85,21 +85,25 @@ def _lv(bufs: paths.PathBuffers, v0: dict, s: int):
                 pdf_fwd=bufs.pdf_fwd[j], tri=None, valid=bufs.valid[j])
 
 
-def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb):
+def light_trace_splat(scene, camera, lbufs, lv0, cfg: BDPTConfig, fb,
+                      active=None):
     """t=1 strategy: connect every light vertex to the camera lens and splat
     (lightPathTracing, deviceCode.cu:1290-1432). Scatter-add replaces
     atomicAdd. s=1 (the light endpoint) is a special static case; s>=2 is a
     lax.scan over the stored vertices (compile O(1) in light_depth).
-    Returns (fb, rays)."""
+    `active` masks whole light paths (the mega engines' chunk-tail
+    padding). Returns (fb, rays)."""
     n = lv0["pt"].shape[0]
     w, h = camera.width, camera.height
     plane_area = _plane_area(camera)
     ones = jnp.ones((n,), jnp.float32)
     rays = jnp.int32(0)
+    if active is None:
+        active = jnp.ones((n,), bool)
 
     def splat_vertex(fb, rays, v, first: bool):
         rx, ry, on_screen = camera.world_to_raster(v["pt"])
-        go = v["valid"] & on_screen & ~v["is_delta"]
+        go = v["valid"] & on_screen & ~v["is_delta"] & active
 
         to_cam = camera.origin - v["pt"]
         dist = jnp.sqrt(jnp.maximum(length_sq(to_cam), 1e-20))

@@ -81,8 +81,11 @@ class _MState(NamedTuple):
     d: jax.Array
     inv_d: jax.Array
     is_shadow: jax.Array   # [W] bool traversal mode
-    gen: jax.Array         # [W] i32 pixel generation; lane l owns pixels
-    #                        g*W + l for g in [0, G); gen == G = exhausted
+    next_px: jax.Array     # scalar i32 pixel queue head
+    ret_count: jax.Array   # [W] i32 paths this lane has retired
+    prays: jax.Array       # [W] i32 rays launched by the CURRENT path
+    #                        (subtracted when a straggler is handed to the
+    #                        narrow tail stage, which replays it in full)
     pid: jax.Array         # [W] i32 pixel index into px/py; -1 = idle lane
     lit: jax.Array         # [W] i32 per-lane bounce/draw counter
     depth: jax.Array       # [W] i32 path depth (false hits do not advance)
@@ -99,11 +102,12 @@ class _MState(NamedTuple):
     pending: jax.Array     # [3,W] unshadowed weighted NEE contribution
     nxt_o: jax.Array       # [3,W] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
-    acc: jax.Array         # [G,3,W] per-generation radiance (lane-major;
-    #                        pixel g*W + l lives at [g, :, l] — retiring a
-    #                        path is G masked row-writes, NOT a scatter:
-    #                        the [W]-indexed scatter-add this replaces
-    #                        measured 4.8 ms per transition on v5e)
+    ret_pid: jax.Array     # [K,W] i32 pixel of each retired slot; -1 empty
+    acc: jax.Array         # [K,3,W] per-slot retired radiance (lane-major;
+    #                        the lane's k-th retired path lives at
+    #                        [k, :, lane] — retiring is K masked
+    #                        row-writes, NOT a scatter; one big scatter
+    #                        after the loop resolves slots to pixels)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
@@ -135,14 +139,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     if chunk_pixels:
         c_pix0 = min(chunk_pixels, p_total)
     else:
-        c_pix0 = min(p_total, max(4 * (width or p_total), 1 << 17))
+        # ONE machine over the whole frame: each chunk pays its own global
+        # drain tail (deep RR survivors bounce once per full transition),
+        # and 5 chunks at 1080p measured 1.6x slower than 1 (busy-fraction
+        # 11% -> 19%). The [G,3,W] accumulator keeps the carry streamable
+        # at any frame size, so chunking is now only an explicit override.
+        c_pix0 = p_total
     w = min(width or c_pix0, c_pix0)
-    # static pixel assignment: lane l owns pixels g*w + l, g in [0, gens);
-    # lanes whose pixel index reaches past the chunk's true count stay
-    # idle, so padding renders nothing (ray counts are width-invariant)
-    gens = -(-c_pix0 // w)
+    gens = -(-c_pix0 // w)       # mean paths per lane per chunk
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
+    # retire-slot capacity per lane: the dynamic queue load-balances, so
+    # no lane should serve much more than ~2x the mean path count
+    k_slots = 2 * gens + 8
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
     pxf = px.astype(jnp.float32)
@@ -158,10 +167,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     def ids2(pid, lit):
         return pid * _ID_STRIDE + lit
 
-    # The per-chunk machine below closes over nothing chunk-dependent;
-    # chunk-local pixel arrays, the local queue length and the global-id
-    # base are threaded explicitly so one trace serves every chunk.
-    def transition(s: _MState, pxc, pyc, gbase, cnt) -> _MState:
+    # The machine below is width-agnostic (every shape derives from the
+    # state), so the same functions serve the full-width stage AND the
+    # narrow tail stage; chunk-local pixel arrays, the queue length, the
+    # queue->pixel map `qidx` and the global-id base are threaded
+    # explicitly so one trace serves every chunk.
+    def transition(s: _MState, pxc, pyc, gbase, cnt, qidx) -> _MState:
         ts = s.ts
         drained = (ts.flag < 0) & (s.pid >= 0)
         pid, lit, depth = s.pid, s.lit, s.depth
@@ -307,19 +318,32 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         dead = dead | (cl_done & ~path_on & ~start_shadow)
         lit = jnp.where(cl_done, lit + 1, lit)
 
-        # ------ 3. retire finished paths + refill (static generations) ----
-        # lane l's retired radiance lands at acc[gen, :, l]: gens masked
-        # row-writes instead of the [W]-indexed scatter-add this replaces
-        # (measured 4.8 ms/transition on v5e — scatter rows serialize)
-        acc = s.acc
-        for gg in range(gens):
-            mg = (dead & (s.gen == gg))[None, :]
-            acc = acc.at[gg].set(jnp.where(mg, li, acc[gg]))
-        gen = jnp.where(dead, s.gen + 1, s.gen)
-        lane = jnp.arange(w, dtype=jnp.int32)
-        new_pid = gen * w + lane
-        got = dead & (gen < gens) & (new_pid < cnt)
-        pid = jnp.where(got, new_pid, jnp.where(dead, -1, pid))
+        # ------ 3. retire finished paths + refill from the pixel queue ----
+        # A retired path's radiance lands in the lane's own SLOT LIST
+        # (acc[k, :, lane] + ret_pid[k, lane], k = the lane's retire
+        # count): masked row-writes instead of the [W]-indexed
+        # scatter-add this replaces (measured 4.8 ms/transition on v5e —
+        # scattered rows serialize); run_chunk resolves the slots to
+        # pixels with ONE scatter after the loop. The pixel QUEUE is
+        # dynamic for load balance: a lane that drew several deep-RR
+        # paths must not serialize them while other lanes idle (a static
+        # per-lane pixel assignment measured 330 tail iterations vs the
+        # queue's ~130 at 1080p).
+        acc, ret_pid = s.acc, s.ret_pid
+        for kk in range(k_slots):
+            mg = dead & (s.ret_count == kk)
+            acc = acc.at[kk].set(jnp.where(mg[None, :], li, acc[kk]))
+            ret_pid = ret_pid.at[kk].set(jnp.where(mg, pid, ret_pid[kk]))
+        ret_count = s.ret_count + dead.astype(jnp.int32)
+        pid = jnp.where(dead, -1, pid)
+
+        want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
+        rank = jnp.cumsum(want.astype(jnp.int32))
+        new_q = s.next_px + rank - 1
+        got = want & (new_q < cnt)
+        next_px = s.next_px + jnp.sum(got.astype(jnp.int32))
+        new_pid = qidx[jnp.where(got, new_q, 0)]
+        pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
         go, gd = lm.generate_raysT(
             camera, cam_key, pxc[gp], pyc[gp],
@@ -369,12 +393,14 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         o2 = jnp.where(start_any[None, :], o2, s.o)
         d2 = jnp.where(start_any[None, :], d2, s.d)
         inv_d = jnp.where(start_any[None, :], lm.safe_inv_dirT(d2), s.inv_d)
+        prays = (jnp.where(got, 0, s.prays)
+                 + start_any.astype(jnp.int32))
 
         return _MState(rays, s.it, s.fires + 1, s.busy, ts, o2, d2,
-                       inv_d, is_shadow, gen,
+                       inv_d, is_shadow, next_px, ret_count, prays,
                        pid, lit, depth, beta, li, alive, prev_pdf,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
-                       ms.top, pending, nxt_o, nxt_d, acc)
+                       ms.top, pending, nxt_o, nxt_d, ret_pid, acc)
 
     def mini(s: _MState) -> _MState:
         """Relaunch-only mini-transition: a drained NEE shadow lane already
@@ -387,26 +413,36 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         done_sh = (ts.flag < 0) & (s.pid >= 0) & s.is_shadow & s.path_alive
         li = s.li + jnp.where(done_sh[None, :], s.pending * ts.scale, 0.0)
         pending = jnp.where(done_sh[None, :], 0.0, s.pending)
-        ts = trav_start(ts, done_sh, jnp.full((w,), BIG_T, jnp.float32))
+        ts = trav_start(ts, done_sh,
+                        jnp.full(s.pid.shape, BIG_T, jnp.float32))
         o = jnp.where(done_sh[None, :], s.nxt_o, s.o)
         d = jnp.where(done_sh[None, :], s.nxt_d, s.d)
         inv_d = jnp.where(done_sh[None, :], lm.safe_inv_dirT(d), s.inv_d)
         is_shadow = s.is_shadow & ~done_sh
         rays = s.rays + jnp.sum(done_sh.astype(jnp.int32))
         return s._replace(ts=ts, o=o, d=d, inv_d=inv_d, is_shadow=is_shadow,
-                          li=li, pending=pending, rays=rays)
+                          li=li, pending=pending, rays=rays,
+                          prays=s.prays + done_sh.astype(jnp.int32))
 
-    def cond(s: _MState):
-        return jnp.any(s.pid >= 0) & (s.it < 1 << 26)
+    def make_cond(cnt, tail_w: int = 0):
+        """Loop condition; with tail_w set, the loop ALSO stops once the
+        queue is exhausted and at most tail_w lanes remain busy (the
+        stragglers are then handed to the narrow tail machine)."""
+        def cond(s: _MState):
+            more_px = (s.next_px < cnt) & jnp.any(s.ret_count < k_slots)
+            n_act = jnp.sum((s.pid >= 0).astype(jnp.int32))
+            go = (n_act > 0) if not tail_w else (n_act > tail_w)
+            return (go | more_px) & (s.it < 1 << 26)
+        return cond
 
-    def make_body(pxc, pyc, gbase, cnt):
+    def make_body(pxc, pyc, gbase, cnt, qidx):
         def body(s: _MState):
             # straight-line body: steps_per_iter traversal node-steps, then
             # the transition UNCONDITIONALLY. A lax.cond around the
             # transition measured ~4x the per-iteration cost: the
             # conditional breaks the while-carry aliasing and the whole
             # state gets copied every iteration.
-            skip = jnp.full((w,), -1, jnp.int32)
+            skip = jnp.full(s.pid.shape, -1, jnp.int32)
             msplit = max(1, min(mini_splits, steps_per_iter))
             per_group = max(1, steps_per_iter // msplit)
             for g in range(msplit):
@@ -420,49 +456,93 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 if g + 1 < msplit:
                     s = mini(s)
             s = s._replace(it=s.it + 1)
-            return transition(s, pxc, pyc, gbase, cnt)
+            return transition(s, pxc, pyc, gbase, cnt, qidx)
         return body
 
-    def make_init(pxc, pyc, gbase, cnt):
-        """Generation-0 launch state: every lane starts on its own pixel."""
-        z3 = jnp.zeros((3, w), jnp.float32)
-        ms0 = lm.MediumStackT.make(w, mats.priority[0])
-        dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
-        lane = jnp.arange(w, dtype=jnp.int32)
-        go, gd = lm.generate_raysT(camera, cam_key, pxc[lane], pyc[lane],
-                                   ids=ids2(gbase + lane,
+    def make_init(pxc, pyc, gbase, cnt, qidx, mw):
+        """Launch state at width mw: lane l starts on queue slot l."""
+        z3 = jnp.zeros((3, mw), jnp.float32)
+        ms0 = lm.MediumStackT.make(mw, mats.priority[0])
+        dx0 = jnp.concatenate([jnp.ones((1, mw)), jnp.zeros((2, mw))],
+                              axis=0)
+        lane = jnp.arange(mw, dtype=jnp.int32)
+        live = lane < cnt
+        pid0 = jnp.where(live, qidx[jnp.minimum(lane, qidx.shape[0] - 1)],
+                         -1)
+        gp = jnp.maximum(pid0, 0)
+        go, gd = lm.generate_raysT(camera, cam_key, pxc[gp], pyc[gp],
+                                   ids=ids2(gbase + gp,
                                             jnp.zeros_like(lane)))
         return _MState(
-            rays=jnp.int32(w), it=jnp.int32(0), fires=jnp.int32(0),
-            busy=jnp.int32(0),
-            ts=trav_start(trav_idle(w), jnp.ones((w,), bool),
-                          jnp.full((w,), BIG_T, jnp.float32)),
+            rays=jnp.sum(live.astype(jnp.int32)), it=jnp.int32(0),
+            fires=jnp.int32(0), busy=jnp.int32(0),
+            ts=trav_start(trav_idle(mw), live,
+                          jnp.full((mw,), BIG_T, jnp.float32)),
             o=go, d=gd,
             inv_d=lm.safe_inv_dirT(gd),
-            is_shadow=jnp.zeros((w,), bool),
-            gen=jnp.zeros((w,), jnp.int32),
-            pid=lane,
-            lit=jnp.zeros((w,), jnp.int32),
-            depth=jnp.zeros((w,), jnp.int32),
-            beta=jnp.ones((3, w), jnp.float32),
+            is_shadow=jnp.zeros((mw,), bool),
+            next_px=jnp.minimum(jnp.int32(mw), cnt),
+            ret_count=jnp.zeros((mw,), jnp.int32),
+            prays=live.astype(jnp.int32),
+            pid=pid0,
+            lit=jnp.zeros((mw,), jnp.int32),
+            depth=jnp.zeros((mw,), jnp.int32),
+            beta=jnp.ones((3, mw), jnp.float32),
             li=z3,
-            path_alive=jnp.ones((w,), bool),
-            prev_pdf=jnp.full((w,), EPSILON, jnp.float32),
-            hit_nonspec=jnp.zeros((w,), bool),
+            path_alive=jnp.ones((mw,), bool),
+            prev_pdf=jnp.full((mw,), EPSILON, jnp.float32),
+            hit_nonspec=jnp.zeros((mw,), bool),
             prev_point=z3,
-            eta_i=jnp.full((w,), EPSILON, jnp.float32),
-            eta_t=jnp.full((w,), EPSILON, jnp.float32),
+            eta_i=jnp.full((mw,), EPSILON, jnp.float32),
+            eta_t=jnp.full((mw,), EPSILON, jnp.float32),
             ms_stack=ms0.stack, ms_top=ms0.top,
             pending=z3, nxt_o=z3, nxt_d=dx0,
-            acc=jnp.zeros((gens, 3, w), jnp.float32))
+            ret_pid=jnp.full((k_slots, mw), -1, jnp.int32),
+            acc=jnp.zeros((k_slots, 3, mw), jnp.float32))
+
+    def _slots_to_image(out):
+        rows = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        pids = out.ret_pid.reshape(-1)
+        return jnp.zeros((c_pix, 3), jnp.float32).at[
+            jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
+
+    # narrow tail stage: after the queue drains, the few straggling deep
+    # paths would otherwise ride full-width lockstep steps for ~a hundred
+    # iterations. Instead the full-width loop stops once <= tail_w lanes
+    # are busy, and the stragglers' PIXELS are re-rendered from scratch by
+    # a tail_w-wide copy of the same machine — the replay is exact because
+    # every draw is keyed by (pixel index, bounce), and the stragglers'
+    # stage-1 partial radiance is simply never retired (their per-path ray
+    # counts are subtracted to keep ray totals schedule-invariant).
+    _tail_env = int(_os.environ.get("TPT_MEGA_TAIL_W", "0"))
+    tail_w = _tail_env or max(w // 8, 1 << 11)
+    two_stage = (w > 4 * tail_w) or (bool(_tail_env) and w > tail_w)
 
     def run_chunk(pxc, pyc, gbase):
         cnt = jnp.minimum(p_total - gbase, c_pix)
-        out = jax.lax.while_loop(cond, make_body(pxc, pyc, gbase, cnt),
-                                 make_init(pxc, pyc, gbase, cnt))
-        # acc[g, :, l] is pixel g*w + l -> [gens*w, 3] chunk image
-        img = out.acc.transpose(0, 2, 1).reshape(-1, 3)
-        return img, out.rays, out.it, out.fires, out.busy
+        qidx = jnp.arange(c_pix, dtype=jnp.int32)
+        out = jax.lax.while_loop(
+            make_cond(cnt, tail_w if two_stage else 0),
+            make_body(pxc, pyc, gbase, cnt, qidx),
+            make_init(pxc, pyc, gbase, cnt, qidx, w))
+        img = _slots_to_image(out)
+        rays, it, fires, busy = out.rays, out.it, out.fires, out.busy
+        if two_stage:
+            strag = out.pid >= 0
+            n_strag = jnp.sum(strag.astype(jnp.int32))
+            sidx = jnp.nonzero(strag, size=tail_w, fill_value=0)[0]
+            spid = out.pid[sidx]
+            rays = rays - jnp.sum(jnp.where(strag, out.prays, 0))
+            out2 = jax.lax.while_loop(
+                make_cond(n_strag),
+                make_body(pxc, pyc, gbase, n_strag, spid),
+                make_init(pxc, pyc, gbase, n_strag, spid, tail_w))
+            img = img + _slots_to_image(out2)
+            rays = rays + out2.rays
+            it = it + out2.it
+            fires = fires + out2.fires
+            busy = busy + out2.busy
+        return img, rays, it, fires, busy
 
     def chunk_body(_, ci):
         pxc = jax.lax.dynamic_slice_in_dim(pxf, ci * c_pix, c_pix)

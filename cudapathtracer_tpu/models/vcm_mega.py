@@ -168,7 +168,9 @@ class _VState(NamedTuple):
     rays: jax.Array       # scalar i32
     it: jax.Array
     fires: jax.Array
-    gen: jax.Array        # [W] i32 pixel generation (lane l owns g*W + l)
+    next_px: jax.Array    # scalar i32 pixel queue head (dynamic queue —
+    #                       load balance; see unidirectional_mega)
+    ret_count: jax.Array  # [W] i32 paths this lane has retired
     ts: object            # TravState [W]
     o: jax.Array          # [3,W] in-flight ray
     d: jax.Array
@@ -204,26 +206,89 @@ class _VState(NamedTuple):
     nxt_thr: jax.Array    # [3,W]
     nxt_pdf_sa: jax.Array
     nxt_cos: jax.Array
-    acc: jax.Array        # [G,3,W] per-generation radiance (lane-major;
-    #                       pixel g*W + l lives at [g, :, l] — retiring is
-    #                       G masked row-writes, not a scatter, which
-    #                       measured 4.8 ms/transition on v5e)
+    ret_pid: jax.Array    # [K,W] i32 pixel of each retired slot; -1 empty
+    acc: jax.Array        # [K,3,W] per-slot retired radiance: retiring is
+    #                       K masked row-writes, not a scatter (4.8 ms/
+    #                       transition on v5e); one scatter per chunk
+    #                       after the loop resolves slots to pixels
+
+
+def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc) -> "_VState":
+    """Launch state: lane l starts on queue pixel l (lanes beyond the
+    chunk's true count start idle). Shared by the VCM and BDPT flavors of
+    the machine."""
+    pxcf = pxc.astype(jnp.float32)
+    pycf = pyc.astype(jnp.float32)
+    z3 = jnp.zeros((3, w), jnp.float32)
+    dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
+    zw = jnp.zeros((w,), jnp.float32)
+    lane = jnp.arange(w, dtype=jnp.int32)
+    lane_live = lane < cnt
+    gpix0 = rng.pixel_ids(pxc[lane], pyc[lane])
+    go0, gd0 = lm.generate_raysT(camera, cam_key, pxcf[lane], pycf[lane],
+                                 ids=gpix0)
+    aspect = camera.width / camera.height
+    plane_area = 4.0 * aspect * camera.fov_scale * camera.fov_scale
+    cos_cam0 = jnp.abs(lm.dotT(jnp.broadcast_to(
+        jnp.reshape(camera.forward, (3, 1)), gd0.shape), gd0))
+    return _VState(
+        rays=jnp.sum(lane_live.astype(jnp.int32)), it=jnp.int32(0),
+        fires=jnp.int32(0),
+        next_px=jnp.minimum(jnp.int32(w), cnt),
+        ret_count=jnp.zeros((w,), jnp.int32),
+        ts=trav_start(trav_idle(w), lane_live,
+                      jnp.full((w,), BIG_T, jnp.float32)),
+        o=go0, d=gd0, inv_d=lm.safe_inv_dirT(gd0),
+        skip=jnp.full((w,), -1, jnp.int32),
+        phase=jnp.zeros((w,), jnp.int32),
+        conn_j=jnp.zeros((w,), jnp.int32),
+        pid=jnp.where(lane_live, lane, -1),
+        depth=jnp.zeros((w,), jnp.int32),
+        li=z3, pending=z3, thr=jnp.ones((3, w), jnp.float32),
+        prev_pdf_sa=1.0 / (plane_area * cos_cam0 ** 3),
+        prev_cos=cos_cam0,
+        prev_pt=go0, prev_delta=jnp.ones((w,), bool),
+        pos=z3, cur_tri=jnp.full((w,), -1, jnp.int32),
+        cur_u=zw, cur_v=zw,
+        conn_ok=jnp.zeros((w,), bool),
+        d_vcm=zw, d_vc=zw, d_vm=zw,
+        ms_dvcm=zw, ms_dvc=zw, ms_dvm=zw, ms_prev_rev=zw,
+        ms_prev_delta=jnp.zeros((w,), bool),
+        alive=jnp.ones((w,), bool),
+        nxt_o=z3, nxt_d=dx0, nxt_thr=jnp.ones((3, w), jnp.float32),
+        nxt_pdf_sa=zw, nxt_cos=zw,
+        ret_pid=jnp.full((k_slots, w), -1, jnp.int32),
+        acc=jnp.zeros((k_slots, 3, w), jnp.float32))
 
 
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
-                    gens, cnt, eta_vcm, mr, merge_norm, grid, conn_table,
-                    lpath_len, steps_per_iter, mini_splits):
-    """Build (cond, make_body, make_init) for one chunk's persistent eye
-    machine. Lane l statically owns pixels g*w + l (see _VState.acc).
+                    gens, k_slots, cnt, eta_vcm, mr, merge_norm, grid,
+                    conn_table, lpath_len, steps_per_iter, mini_splits,
+                    flavor: str = "vcm"):
+    """Build (cond, make_body) for one chunk's persistent eye machine.
+    Lane l statically owns pixels g*w + l (see _VState.acc).
 
     cnt: traced true pixel/path count of this chunk (<= gens*w static);
-    lpath_len: [C] i32 valid-vertex count of each paired light path."""
+    lpath_len: [C] i32 valid-vertex count of each paired light path.
+
+    flavor selects the estimator family the phases implement:
+      "vcm"  — VCM/SPPM weights (eta_vcm terms, d_vm chain, squared NEE
+               bsdfRatio quirk, firefly-clamped weighted contributions,
+               photon merge) — deviceCode.cu:2386-3065;
+      "bdpt" — classic BDPT weights (no eta terms, linear NEE ratio, the
+               t==2 camera-trace-pdf implicit-hit case, clamp only the
+               implicit hit, no merge) — deviceCode.cu:1444-1766.
+    """
     c_pix = gens * w
+    is_bdpt = flavor == "bdpt"
     fstep = make_fused_step(scene).lane_major
     num_lights = max(scene.num_lights, 1)
     do_nee = cfg.nee and scene.num_lights > 0
     do_conn = cfg.connection
-    l_depth = cfg.light_depth
+    # stored light vertices available to the conn chain: the VCM walk
+    # stores light_depth vertices, the BDPT walk light_depth-1
+    l_depth = cfg.light_depth - 1 if is_bdpt else cfg.light_depth
+    do_conn = do_conn and l_depth > 0
     plane_area = (4.0 * (camera.width / camera.height)
                   * camera.fov_scale * camera.fov_scale)
 
@@ -346,7 +411,10 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                                    transmission=trans_e)
         pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(cos_light) / d2
         ratio = pdf_bsdf_area / jnp.maximum(pdf_connect, 1e-20)
-        w_light = ratio * ratio     # reference quirk: squared (2533)
+        if is_bdpt:
+            w_light = ratio            # deviceCode.cu:1520 (linear)
+        else:
+            w_light = ratio * ratio    # VCM quirk: squared (2533)
         pdf_curr_rev_area = pdf_emit_sa * jnp.abs(stl_local[2]) / d2
         pdf_prev_rev_sa = lm.bsdf_pdfT(mat_e, stl_local, to_prev_loc, ones,
                                        transmission=trans_e)
@@ -370,7 +438,16 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
         # ---- 1. resolve finished shadow phases -------------------------
         sh_done = drained & (s.phase != _PH_CLOSEST)
-        resolved = _clampT(s.pending * ts.scale)
+        if cfg.paint_weight:
+            # PAINTWEIGHT renders the MIS weight itself: the occlusion
+            # test only gates, it must not scale the painted weight
+            clear = jnp.max(ts.scale, axis=0) > 0.0
+            resolved = jnp.where(clear[None, :], s.pending, 0.0)
+        elif is_bdpt:
+            # classic BDPT clamps only the implicit hit, not NEE/conn
+            resolved = s.pending * ts.scale
+        else:
+            resolved = _clampT(s.pending * ts.scale)
         li = s.li + jnp.where(sh_done[None, :], resolved, 0.0)
         pending = jnp.where(sh_done[None, :], 0.0, s.pending)
 
@@ -434,26 +511,55 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             zw = jnp.zeros_like(pdf_sa)
             n_dvcm, n_dvc, n_dvm, mstate2 = mis.advance(
                 mstate, depth == 0, pdf_fwd_area, g, pdf_rev_sa, cur_delta,
-                first_d_vcm, zw, zw, eta_vcm)
+                first_d_vcm, zw, zw, None if is_bdpt else eta_vcm)
 
             n_conn_ok = valid & ~cur_delta
 
-            # ---- s=0 implicit hit (connectImplicitHit, 2389-2446)
+            # ---- s=0 implicit hit (VCM connectImplicitHit 2389-2446;
+            # BDPT deviceCode.cu:1552-1646)
             if cfg.naive:
                 is_light = (n_conn_ok & (info["light_ind"] >= 0)
                             & ~info["backface"])
                 lidx = jnp.maximum(info["light_ind"], 0)
                 le = scene.light_emission[lidx].T
                 area = scene.light_area[lidx]
-                cos_l = lm.dotT(normal, lm.normalizeT(prev_pt - npos))
-                pdf_connect = jnp.where(prev_delta, 0.0,
-                                        (1.0 / num_lights)
-                                        / jnp.maximum(area, 1e-20))
-                # NOTE: no eta_vcm term (reference quirk, 2436-2446)
-                w_eye = (pdf_connect * n_dvcm
-                         + pdf_connect * (cos_l / PI) * n_dvc)
-                weight = 1.0 / (1.0 + w_eye)
-                out = _clampT(_weightedT(le * thr, weight, cfg))
+                to_prev_u = lm.normalizeT(prev_pt - npos)
+                cos_l = lm.dotT(normal, to_prev_u)
+                pdf_connect0 = ((1.0 / num_lights)
+                                / jnp.maximum(area, 1e-20))
+                pdf_connect = jnp.where(prev_delta, 0.0, pdf_connect0)
+                if is_bdpt:
+                    # t == 2: weigh against the camera trace pdf; deeper
+                    # hits use the recursion + firefly clamp on the
+                    # CONTRIBUTION (deviceCode.cu:1585-1623)
+                    cos_la = jnp.abs(cos_l)
+                    cos_cam = jnp.abs(lm.dotT(jnp.broadcast_to(
+                        jnp.reshape(camera.forward, (3, 1)),
+                        to_prev_u.shape), -to_prev_u))
+                    d2n = jnp.maximum(lm.length_sqT(npos - prev_pt),
+                                      1e-20)   # deviceCode.cu:1600
+                    pdf_trace_cam = cos_la / (
+                        d2n * plane_area * cos_cam ** 3)
+                    w_eye_first = pdf_connect0 / jnp.maximum(
+                        pdf_trace_cam, 1e-20)
+                    w_eye_gen = (pdf_connect * n_dvcm
+                                 + pdf_connect * (cos_la / PI) * n_dvc)
+                    first_t = depth == 0
+                    w_eye = jnp.where(first_t, w_eye_first, w_eye_gen)
+                    contrib = le * thr
+                    lum = lm.luminanceT(contrib)
+                    csc = jnp.where(
+                        (lum > MAX_FIREFLY_LUM) & ~first_t,
+                        MAX_FIREFLY_LUM / jnp.maximum(lum, 1e-20), 1.0)
+                    contrib = contrib * csc[None, :]
+                    weight = 1.0 / (1.0 + w_eye)
+                    out = _weightedT(contrib, weight, cfg)
+                else:
+                    # NOTE: no eta_vcm term (reference quirk, 2436-2446)
+                    w_eye = (pdf_connect * n_dvcm
+                             + pdf_connect * (cos_l / PI) * n_dvc)
+                    weight = 1.0 / (1.0 + w_eye)
+                    out = _clampT(_weightedT(le * thr, weight, cfg))
                 li = li + jnp.where(is_light[None, :], out, 0.0)
 
             # ---- photon merge (deviceCode.cu:2968-3048) at this vertex
@@ -551,15 +657,20 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         dead = dead | (commit & ~alive)
 
         pid = s.pid
-        acc = s.acc
-        for ggen in range(gens):
-            mg = (dead & (s.gen == ggen))[None, :]
-            acc = acc.at[ggen].set(jnp.where(mg, li, acc[ggen]))
-        gen = jnp.where(dead, s.gen + 1, s.gen)
-        lane = jnp.arange(w, dtype=jnp.int32)
-        new_pid = gen * w + lane
-        got = dead & (gen < gens) & (new_pid < cnt)
-        pid = jnp.where(got, new_pid, jnp.where(dead, -1, pid))
+        acc, ret_pid = s.acc, s.ret_pid
+        for kk in range(k_slots):
+            mg = dead & (s.ret_count == kk)
+            acc = acc.at[kk].set(jnp.where(mg[None, :], li, acc[kk]))
+            ret_pid = ret_pid.at[kk].set(jnp.where(mg, pid, ret_pid[kk]))
+        ret_count = s.ret_count + dead.astype(jnp.int32)
+        pid = jnp.where(dead, -1, pid)
+
+        want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
+        rank = jnp.cumsum(want.astype(jnp.int32))
+        new_pid = s.next_px + rank - 1
+        got = want & (new_pid < cnt)
+        next_px = s.next_px + jnp.sum(got.astype(jnp.int32))
+        pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
         gpixid = rng.pixel_ids(pxc[gp].astype(jnp.int32),
                                pyc[gp].astype(jnp.int32))
@@ -628,16 +739,19 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         d2 = jnp.where(start_any[None, :], d2, s.d)
         inv_d = jnp.where(start_any[None, :], lm.safe_inv_dirT(d2), s.inv_d)
 
-        return _VState(rays, s.it, s.fires + 1, gen, ts, o2, d2, inv_d,
+        return _VState(rays, s.it, s.fires + 1, next_px, ret_count, ts,
+                       o2, d2, inv_d,
                        skip, phase, conn_j, pid, depth, li, pending, thr,
                        prev_pdf_sa, prev_cos, prev_pt, prev_delta, pos,
                        cur_tri, cur_u, cur_v, conn_ok, d_vcm, d_vc, d_vm,
                        mstate.d_vcm, mstate.d_vc, mstate.d_vm,
                        mstate.pdf_rev_prev, mstate.prev_was_delta, alive,
-                       nxt_o, nxt_d, nxt_thr, nxt_pdf_sa, nxt_cos, acc)
+                       nxt_o, nxt_d, nxt_thr, nxt_pdf_sa, nxt_cos,
+                       ret_pid, acc)
 
     def cond(s: _VState):
-        return jnp.any(s.pid >= 0) & (s.it < 1 << 26)
+        more_px = (s.next_px < cnt) & jnp.any(s.ret_count < k_slots)
+        return (jnp.any(s.pid >= 0) | more_px) & (s.it < 1 << 26)
 
     def make_body(pxc, pyc, gbase):
         def body(s: _VState):
@@ -672,11 +786,16 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     steps_per_iter = steps_per_iter or STEPS_PER_ITER
     mini_splits = mini_splits or MINI_SPLITS
     p_total = px.shape[0]
-    c_pix0 = min(chunk_pixels or (1 << 17), p_total)
+    # default: ONE machine per frame (a chunk pays its own drain tail —
+    # see unidirectional_mega), except the conn-table/photon-grid memory
+    # bounds the chunk at very large frames (rows ~ L*c_pix*32 floats)
+    c_pix0 = min(chunk_pixels or max(p_total // max(
+        1, -(-p_total // (1 << 20))), 1), p_total)
     w = min(width or c_pix0, c_pix0)
-    gens = max(1, c_pix0 // w)
+    gens = -(-c_pix0 // w)
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
+    k_slots = 2 * gens + 8
 
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -744,58 +863,20 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # ---- persistent eye machine ----
         cond, make_body = _mk_eye_machine(
-            scene, camera, cfg, key_e, cam_key, w, gens, cnt, eta_vcm,
-            mr, merge_norm, grid, conn_table, lpath_len, steps_per_iter,
-            mini_splits)
+            scene, camera, cfg, key_e, cam_key, w, gens, k_slots, cnt,
+            eta_vcm, mr, merge_norm, grid, conn_table, lpath_len,
+            steps_per_iter, mini_splits)
 
-        pxcf = pxc.astype(jnp.float32)
-        pycf = pyc.astype(jnp.float32)
-        z3 = jnp.zeros((3, w), jnp.float32)
-        dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))],
-                              axis=0)
-        zw = jnp.zeros((w,), jnp.float32)
-        # generation-0 launch: lane l starts on pixel l (lanes beyond the
-        # chunk's true count start idle)
-        lane = jnp.arange(w, dtype=jnp.int32)
-        lane_live = lane < cnt
-        gpix0 = rng.pixel_ids(pxc[lane], pyc[lane])
-        go0, gd0 = lm.generate_raysT(camera, cam_key, pxcf[lane],
-                                     pycf[lane], ids=gpix0)
-        aspect = camera.width / camera.height
-        plane_area = 4.0 * aspect * camera.fov_scale * camera.fov_scale
-        cos_cam0 = jnp.abs(lm.dotT(jnp.broadcast_to(
-            jnp.reshape(camera.forward, (3, 1)), gd0.shape), gd0))
-        init = _VState(
-            rays=jnp.sum(lane_live.astype(jnp.int32)), it=jnp.int32(0),
-            fires=jnp.int32(0),
-            gen=jnp.zeros((w,), jnp.int32),
-            ts=trav_start(trav_idle(w), lane_live,
-                          jnp.full((w,), BIG_T, jnp.float32)),
-            o=go0, d=gd0, inv_d=lm.safe_inv_dirT(gd0),
-            skip=jnp.full((w,), -1, jnp.int32),
-            phase=jnp.zeros((w,), jnp.int32),
-            conn_j=jnp.zeros((w,), jnp.int32),
-            pid=jnp.where(lane_live, lane, -1),
-            depth=jnp.zeros((w,), jnp.int32),
-            li=z3, pending=z3, thr=jnp.ones((3, w), jnp.float32),
-            prev_pdf_sa=1.0 / (plane_area * cos_cam0 ** 3),
-            prev_cos=cos_cam0,
-            prev_pt=go0, prev_delta=jnp.ones((w,), bool),
-            pos=z3, cur_tri=jnp.full((w,), -1, jnp.int32),
-            cur_u=zw, cur_v=zw,
-            conn_ok=jnp.zeros((w,), bool),
-            d_vcm=zw, d_vc=zw, d_vm=zw,
-            ms_dvcm=zw, ms_dvc=zw, ms_dvm=zw, ms_prev_rev=zw,
-            ms_prev_delta=jnp.zeros((w,), bool),
-            alive=jnp.ones((w,), bool),
-            nxt_o=z3, nxt_d=dx0, nxt_thr=jnp.ones((3, w), jnp.float32),
-            nxt_pdf_sa=zw, nxt_cos=zw,
-            acc=jnp.zeros((gens, 3, w), jnp.float32))
-
+        init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc)
         out = jax.lax.while_loop(
-            cond, make_body(pxcf, pycf, ci * c_pix), init)
+            cond, make_body(pxc.astype(jnp.float32),
+                            pyc.astype(jnp.float32), ci * c_pix), init)
         rays_tot = rays_tot + lrays + rays_s + out.rays
-        chunk_img = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        # resolve retire slots to pixels: ONE scatter per chunk
+        rows = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        pids = out.ret_pid.reshape(-1)
+        chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
+            jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
         return ((fb_full, rays_tot, its + out.it, fires + out.fires),
                 chunk_img)
 

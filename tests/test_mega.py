@@ -70,6 +70,27 @@ def test_mega_schedule_invariance():
     assert (np.abs(a - b) < 1e-5).mean() > 0.9
 
 
+def test_mega_two_stage_tail_matches_single_stage(monkeypatch):
+    """The narrow tail stage re-renders straggler pixels from scratch; the
+    pixel-keyed RNG makes the replay exact, so image AND ray counts must
+    match the single-stage machine."""
+    scene, _ = build_scene(builtin.cornell_with_spheres(), builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 8, 8, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(8), jnp.arange(8))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    monkeypatch.setenv("TPT_MEGA_TAIL_W", "8")
+    l1, r1 = unidirectional_mega.render_sample(scene, cam, key, 3, px, py,
+                                               max_depth=6, width=40)
+    monkeypatch.setenv("TPT_MEGA_TAIL_W", "0")
+    # a different static width forces a fresh trace (the env is read at
+    # trace time); the image is width-invariant by construction
+    l2, r2 = unidirectional_mega.render_sample(scene, cam, key, 3, px, py,
+                                               max_depth=6, width=41)
+    assert int(r1) == int(r2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-3)
+
+
 def test_mega_no_mis_mode():
     """use_mis=False must run (naive-with-RR estimator) and stay finite."""
     scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
