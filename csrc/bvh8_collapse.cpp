@@ -1,11 +1,13 @@
 // Native BVH8 collapse: binary SAH tree -> sibling-contiguous CBVH table.
 //
-// Exact port of the Python reference implementation in scene/bvh8.py
-// (greedy largest-surface-area expansion, DFS row emission) so the two can
-// be oracle-tested for bit equality; the Python loop walks the tree per
-// child per expansion step which costs seconds at ~100k triangles
-// (BENCH_r01: 4 s scene build, mostly here). This port precomputes subtree
-// triangle ranges in O(M) and emits rows in C — sub-10 ms at that size.
+// Exact ports of the two Python reference implementations in scene/bvh8.py
+// — greedy largest-surface-area expansion (policy 0) and the
+// row-minimizing SAH dynamic program (policy 1, default; Ylitie et al.
+// 2017 adapted to the one-gather-per-row cost model) — so each can be
+// oracle-tested for bit equality. The Python loops walk the tree per child
+// per expansion step which costs seconds at ~100k triangles (BENCH_r01:
+// 4 s scene build, mostly here); these ports precompute subtree triangle
+// ranges in O(M) and emit rows in C — sub-10 ms at that size.
 //
 // The table layout is documented in scene/bvh8.py; the reference's
 // structural counterpart is the per-thread binary BVH walk
@@ -47,7 +49,8 @@ int tpt_bvh8_collapse(const int32_t* left, const int32_t* right,
                       int num_tris, int leaf_tris, int row_width,
                       int max_rows,
                       float* table,  // [max_rows, row_width] out
-                      int32_t* counts_out) {
+                      int32_t* counts_out,
+                      int policy) {  // 0 = greedy, 1 = SAH DP
   const int LT = leaf_tris;
   const int RW = row_width;
   const float kInf = std::numeric_limits<float>::infinity();
@@ -67,40 +70,116 @@ int tpt_bvh8_collapse(const int32_t* left, const int32_t* right,
     }
   }
 
+  // ---- SAH DP (policy 1): dist[n][j] = min cost (expected visited rows,
+  // area surrogate) of representing subtree n as a forest of <= j roots;
+  // kbest[n][j] = left-share k realizing it (-1 = single root); kint[n] =
+  // 8-way split of n's internal row. Mirrors collapse_sah_py bit-for-bit
+  // (float32 arithmetic, strict-< improvement, first-k tie-break).
+  std::vector<float> dist;
+  std::vector<int8_t> kbest, kint;
+  if (policy == 1) {
+    dist.assign(static_cast<size_t>(num_nodes) * 9, kInf);
+    kbest.assign(static_cast<size_t>(num_nodes) * 9, -1);
+    kint.assign(num_nodes, -1);
+    for (int i = num_nodes - 1; i >= 0; --i) {
+      float* di = dist.data() + static_cast<size_t>(i) * 9;
+      if (rhi[i] - rlo[i] <= LT) {  // leaf row: always optimal, forced
+        const float a = surf_area(bounds + 6 * i);
+        for (int j = 1; j <= 8; ++j) di[j] = a;
+        continue;
+      }
+      const float* dl = dist.data() + static_cast<size_t>(left[i]) * 9;
+      const float* dr = dist.data() + static_cast<size_t>(right[i]) * 9;
+      float best = kInf;
+      int bk = -1;
+      for (int k = 1; k < 8; ++k) {
+        const float c = dl[k] + dr[8 - k];
+        if (c < best) {
+          best = c;
+          bk = k;
+        }
+      }
+      kint[i] = static_cast<int8_t>(bk);
+      const float d1 = surf_area(bounds + 6 * i) + best;
+      di[1] = d1;
+      int8_t* ki = kbest.data() + static_cast<size_t>(i) * 9;
+      for (int j = 2; j <= 8; ++j) {
+        float bj = d1;
+        int bkj = -1;
+        for (int k = 1; k < j; ++k) {
+          const float c = dl[k] + dr[j - k];
+          if (c < bj) {
+            bj = c;
+            bkj = k;
+          }
+        }
+        di[j] = bj;
+        ki[j] = static_cast<int8_t>(bkj);
+      }
+    }
+  }
+
   int cursor = 1;  // row 0 = root node row
   int n_nodes8 = 0, n_leaves8 = 0;
   std::vector<std::pair<int32_t, int32_t>> stack;  // (binary node, table row)
   stack.emplace_back(0, 0);
   int children[8];
+  std::vector<std::pair<int32_t, int32_t>> fstack;  // forest walk (node, j)
 
   while (!stack.empty()) {
     const auto [b, my_row] = stack.back();
     stack.pop_back();
 
-    // expand b: repeatedly split the expandable child with the largest
-    // surface area (expandable = inner binary node spanning > LT tris)
-    int nc = 1;
-    children[0] = b;
-    while (nc < 8) {
-      int best = -1;
-      float best_a = -1.0f;
-      for (int i = 0; i < nc; ++i) {
-        const int c = children[i];
-        if (leaf[2 * c + 1] == 0 && rhi[c] - rlo[c] > LT) {
-          const float a = surf_area(bounds + 6 * c);
-          if (a > best_a) {
-            best = i;
-            best_a = a;
+    int nc = 0;
+    if (policy == 1) {
+      // expand b from the DP decisions: in-order forest roots of
+      // (left, kint[b]) then (right, 8 - kint[b])
+      if (rhi[b] - rlo[b] <= LT) {
+        children[nc++] = b;  // degenerate root: one leaf child
+      } else {
+        const int kb = kint[b];
+        fstack.clear();
+        fstack.emplace_back(right[b], 8 - kb);
+        fstack.emplace_back(left[b], kb);
+        while (!fstack.empty()) {
+          const auto [n, j] = fstack.back();
+          fstack.pop_back();
+          const int k =
+              j > 1 ? kbest[static_cast<size_t>(n) * 9 + j] : -1;
+          if (k < 0) {
+            children[nc++] = n;
+          } else {
+            fstack.emplace_back(right[n], j - k);
+            fstack.emplace_back(left[n], k);
           }
         }
       }
-      if (best < 0) break;
-      const int c = children[best];
-      // children[best] -> (left, right) in place, shifting the tail
-      for (int i = nc; i > best + 1; --i) children[i] = children[i - 1];
-      children[best] = left[c];
-      children[best + 1] = right[c];
-      ++nc;
+    } else {
+      // expand b: repeatedly split the expandable child with the largest
+      // surface area (expandable = inner binary node spanning > LT tris)
+      nc = 1;
+      children[0] = b;
+      while (nc < 8) {
+        int best = -1;
+        float best_a = -1.0f;
+        for (int i = 0; i < nc; ++i) {
+          const int c = children[i];
+          if (leaf[2 * c + 1] == 0 && rhi[c] - rlo[c] > LT) {
+            const float a = surf_area(bounds + 6 * c);
+            if (a > best_a) {
+              best = i;
+              best_a = a;
+            }
+          }
+        }
+        if (best < 0) break;
+        const int c = children[best];
+        // children[best] -> (left, right) in place, shifting the tail
+        for (int i = nc; i > best + 1; --i) children[i] = children[i - 1];
+        children[best] = left[c];
+        children[best + 1] = right[c];
+        ++nc;
+      }
     }
 
     if (cursor + nc > max_rows || my_row >= max_rows) return -1;

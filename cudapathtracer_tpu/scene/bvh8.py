@@ -39,10 +39,17 @@ Whether a row is a node or a leaf is carried in the traversal entry (bit 30
 of the pushed row index), never looked up.
 
 Children keep the binary builder's in-order layout, so every collapsed
-subtree's triangle range is contiguous in the permuted order. The collapse
-expands the child with the largest surface area first (greedy area-weighted
-flattening of the binary SAH tree, replacing deviceCode's per-thread binary
-stack walk, integratorUtilities.cuh:84-186).
+subtree's triangle range is contiguous in the permuted order. Two collapse
+policies exist (both replace deviceCode's per-thread binary stack walk,
+integratorUtilities.cuh:84-186):
+
+  * "greedy": expand the child with the largest surface area first
+    (area-weighted flattening — round-1 policy);
+  * "sah" (default): exact dynamic program over the binary tree that
+    minimizes the expected number of VISITED ROWS per ray (the engine's
+    true cost unit: one gather + one lockstep step per row, node or leaf
+    alike), i.e. it minimizes sum over emitted rows of area(row) — the
+    wide-BVH analogue of the SAH used at binary build time.
 """
 
 from __future__ import annotations
@@ -98,51 +105,39 @@ def _area(bounds):
 
 
 def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
-             leaf_tris: int = LEAF_TRIS, use_native: bool = True) -> BVH8:
+             leaf_tris: int = LEAF_TRIS, use_native: bool = True,
+             policy: str = "sah") -> BVH8:
     """Collapse the binary BVH into the sibling-contiguous BVH8 table.
 
-    Dispatches to the C++ port (csrc/bvh8_collapse.cpp, bit-identical —
-    tested in tests/test_bvh.py) when available; collapse_py below is the
-    numpy oracle and fallback."""
+    policy "sah" (default) runs the row-minimizing dynamic program;
+    "greedy" keeps the round-1 largest-area expansion. Both dispatch to the
+    C++ ports (csrc/bvh8_collapse.cpp, bit-identical — tested in
+    tests/test_bvh.py) when available; the *_py functions below are the
+    numpy oracles and fallbacks."""
     if use_native:
         from cudapathtracer_tpu.scene import native
         res = native.native_bvh8_collapse(
             bvh, np.ascontiguousarray(tri_pack, np.float32),
             np.ascontiguousarray(tri_is_leaf_mat, np.uint8),
-            leaf_tris, row_width(leaf_tris))
+            leaf_tris, row_width(leaf_tris), policy=policy)
         if res is not None:
             table, nn, nl = res
             return BVH8(table=table, num_nodes=nn, num_leaves=nl,
                         leaf_tris=leaf_tris)
+    if policy == "sah":
+        return collapse_sah_py(bvh, tri_pack, tri_is_leaf_mat, leaf_tris)
     return collapse_py(bvh, tri_pack, tri_is_leaf_mat, leaf_tris)
 
 
-def collapse_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
-                leaf_tris: int = LEAF_TRIS) -> BVH8:
-    """Pure-numpy collapse (oracle for the native port)."""
+def _emit_table(bvh, tri_pack, tri_is_leaf_mat, leaf_tris, expand) -> BVH8:
+    """Shared DFS table emission: each processed node allocates one
+    contiguous block of rows for its children (from `expand(b)` — a list of
+    binary subtree roots); inner children are stacked with their assigned
+    row, leaf children are written immediately. Depth-first block order
+    clusters each subtree's rows, which keeps a coherent wavefront's row
+    working set compact in HBM."""
     LT = leaf_tris
     RW = row_width(leaf_tris)
-
-    def expand(b):
-        """Expand binary node b into up to 8 children (binary subtree roots
-        or leaf ranges <= LT triangles)."""
-        children = [b]
-        while len(children) < 8:
-            # pick the expandable child with the largest surface area
-            best, best_a = -1, -1.0
-            for i, c in enumerate(children):
-                if bvh.leaf[c, 1] == 0:  # inner binary node
-                    s, e = _subtree_range(bvh, c)
-                    if e - s > LT:
-                        a = _area(bvh.bounds[c])
-                        if a > best_a:
-                            best, best_a = i, a
-            if best == -1:
-                break
-            c = children.pop(best)
-            children.insert(best, bvh.right[c])
-            children.insert(best, bvh.left[c])
-        return children
 
     def make_leaf_row(s, e):
         row = np.zeros(RW, np.float32)
@@ -156,11 +151,6 @@ def collapse_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
         row[9 * LT:10 * LT] = ids.view(np.float32)
         return row
 
-    # DFS emission: each processed node allocates one contiguous block of
-    # rows for its children; inner children are stacked with their assigned
-    # row, leaf children are written immediately. Depth-first block order
-    # clusters each subtree's rows, which keeps a coherent wavefront's row
-    # working set compact in HBM.
     rows: dict[int, np.ndarray] = {}
     cursor = 1                      # row 0 = root node row
     queue = [(0, 0)]                # (binary node, table row)
@@ -193,3 +183,121 @@ def collapse_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
     table = np.stack([rows[r] for r in range(cursor)]).astype(np.float32)
     return BVH8(table=table, num_nodes=num_nodes, num_leaves=num_leaves,
                 leaf_tris=LT)
+
+
+def collapse_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
+                leaf_tris: int = LEAF_TRIS) -> BVH8:
+    """Pure-numpy GREEDY collapse (oracle for the native port): expand the
+    child with the largest surface area until 8 children."""
+    LT = leaf_tris
+
+    def expand(b):
+        children = [b]
+        while len(children) < 8:
+            # pick the expandable child with the largest surface area
+            best, best_a = -1, -1.0
+            for i, c in enumerate(children):
+                if bvh.leaf[c, 1] == 0:  # inner binary node
+                    s, e = _subtree_range(bvh, c)
+                    if e - s > LT:
+                        a = _area(bvh.bounds[c])
+                        if a > best_a:
+                            best, best_a = i, a
+            if best == -1:
+                break
+            c = children.pop(best)
+            children.insert(best, bvh.right[c])
+            children.insert(best, bvh.left[c])
+        return children
+
+    return _emit_table(bvh, tri_pack, tri_is_leaf_mat, LT, expand)
+
+
+def collapse_sah_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
+                    leaf_tris: int = LEAF_TRIS) -> BVH8:
+    """Pure-numpy SAH collapse (oracle for the native port).
+
+    Bottom-up dynamic program over the binary tree (the wide-BVH collapse
+    DP of Ylitie et al. 2017 adapted to this engine's cost model): every
+    emitted table row — node or leaf — costs one gather + one lockstep
+    step, so the objective is to minimize the expected number of VISITED
+    rows per ray, whose SAH surrogate is sum(area(subtree root)) over
+    emitted rows.
+
+      dist[n, j] = min cost of representing subtree n as a forest of
+                   <= j roots (j = 1..8)
+      dist[n, 1] = area[n] (a leaf row) if tris(n) <= LT — always optimal
+                   then, since an internal row costs area[n] + children;
+                   else area[n] + min_k dist[l, k] + dist[r, 8-k] (an
+                   internal row distributing n's subtree over 8 slots)
+      dist[n, j] = min(dist[n, 1],
+                       min_{k<j} dist[left, k] + dist[right, j-k])
+
+    A node with tris(n) <= LT is emitted as ONE leaf row spanning its whole
+    contiguous triangle range exactly like the greedy policy; the DP's
+    freedom is the PARTITION of the tree into 8-wide nodes. Ties break to
+    the single-root choice, then to the smallest k (the native port
+    replicates this, bit-for-bit)."""
+    LT = leaf_tris
+    M = bvh.num_nodes
+    left, right = bvh.left, bvh.right
+    is_bleaf = bvh.leaf[:, 1] > 0
+
+    # subtree triangle counts (reverse sweep: children follow parents)
+    tris = np.where(is_bleaf, bvh.leaf[:, 1], 0).astype(np.int64)
+    for i in range(M - 1, -1, -1):
+        if not is_bleaf[i]:
+            tris[i] = tris[left[i]] + tris[right[i]]
+    ext = np.maximum(bvh.bounds[:, 3:6] - bvh.bounds[:, 0:3],
+                     np.float32(0.0))
+    area = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                  + ext[:, 2] * ext[:, 0])
+    area = area.astype(np.float32)
+
+    INF = np.float32(np.inf)
+    dist = np.full((M, 9), INF, np.float32)
+    kbest = np.full((M, 9), -1, np.int8)   # -1 = single root at this j
+    kint = np.full(M, -1, np.int8)         # 8-way split k of internal rows
+    for i in range(M - 1, -1, -1):
+        if tris[i] <= LT:           # leaf row: always optimal, forced
+            dist[i, 1:] = area[i]
+            continue
+        li, ri = left[i], right[i]
+        dl, dr = dist[li], dist[ri]
+        best, bk = INF, -1
+        for k in range(1, 8):
+            c = dl[k] + dr[8 - k]
+            if c < best:
+                best, bk = c, k
+        kint[i] = bk
+        d1 = np.float32(area[i] + best)
+        dist[i, 1] = d1
+        for j in range(2, 9):
+            bj, bkj = d1, -1
+            for k in range(1, j):
+                c = dl[k] + dr[j - k]
+                if c < bj:
+                    bj, bkj = c, k
+            dist[i, j] = bj
+            kbest[i, j] = bkj
+
+    def forest(n, j):
+        """In-order forest roots realizing dist[n, j]."""
+        out, stack = [], [(n, j)]
+        while stack:
+            n, j = stack.pop()
+            k = kbest[n, j] if j > 1 else -1
+            if k < 0:
+                out.append(n)
+            else:
+                stack.append((right[n], j - int(k)))
+                stack.append((left[n], int(k)))
+        return out
+
+    def expand(b):
+        if tris[b] <= LT:
+            return [b]              # degenerate root: one leaf child
+        k = int(kint[b])
+        return forest(left[b], k) + forest(right[b], 8 - k)
+
+    return _emit_table(bvh, tri_pack, tri_is_leaf_mat, LT, expand)

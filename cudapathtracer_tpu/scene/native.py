@@ -68,6 +68,7 @@ def _compile_and_load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),   # table out
                 ctypes.POINTER(ctypes.c_int32),   # counts out [2]
+                ctypes.c_int,                     # policy (0 greedy, 1 sah)
             ]
             _lib = lib
         except Exception:
@@ -116,9 +117,10 @@ def native_build_bvh(centroids: np.ndarray, amins: np.ndarray,
 
 def native_bvh8_collapse(bvh, tri_pack: np.ndarray,
                          tri_is_leaf_mat: np.ndarray, leaf_tris: int,
-                         row_width: int):
-    """Run the C++ BVH8 collapse (exact port of scene/bvh8.collapse).
-    Returns (table [R, row_width] f32, num_nodes, num_leaves) or None."""
+                         row_width: int, policy: str = "sah"):
+    """Run the C++ BVH8 collapse (exact ports of scene/bvh8.collapse_py /
+    collapse_sah_py, selected by `policy`). Returns
+    (table [R, row_width] f32, num_nodes, num_leaves) or None."""
     lib = _compile_and_load()
     if lib is None:
         return None
@@ -142,7 +144,8 @@ def native_bvh8_collapse(bvh, tri_pack: np.ndarray,
         leaf.ctypes.data_as(ip), bounds.ctypes.data_as(fp), m,
         tp.ctypes.data_as(fp), lm.ctypes.data_as(up),
         t, int(leaf_tris), int(row_width), max_rows,
-        table.ctypes.data_as(fp), counts.ctypes.data_as(ip))
+        table.ctypes.data_as(fp), counts.ctypes.data_as(ip),
+        1 if policy == "sah" else 0)
     if rows <= 0:
         return None
     return table[:rows].copy(), int(counts[0]), int(counts[1])

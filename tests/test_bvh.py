@@ -109,12 +109,14 @@ def test_stats_shape():
 
 
 @pytest.mark.skipif(not native_available(), reason="no native lib")
-def test_native_bvh8_collapse_matches_python_oracle():
+@pytest.mark.parametrize("policy", ["greedy", "sah"])
+def test_native_bvh8_collapse_matches_python_oracle(policy):
     """csrc/bvh8_collapse.cpp must emit a bit-identical table to the
-    numpy collapse (scene/bvh8.collapse_py) including leaf-material id
-    flags, empty-slot sentinels and row order."""
+    numpy collapse oracles (scene/bvh8.collapse_py / collapse_sah_py)
+    including leaf-material id flags, empty-slot sentinels and row order."""
     from cudapathtracer_tpu.scene import bvh8
 
+    oracle = (bvh8.collapse_sah_py if policy == "sah" else bvh8.collapse_py)
     for n, seed, leaf_tris in [(500, 0, 4), (2000, 1, 4), (777, 2, 2)]:
         bvh, _ = build(n, seed, leaf=2, native=False)
         p0, p1, p2 = make_tris(n, seed)
@@ -122,8 +124,58 @@ def test_native_bvh8_collapse_matches_python_oracle():
         tp = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
         lm = np.zeros(n, bool)
         lm[::5] = True
-        a = bvh8.collapse_py(bvh, tp, lm, leaf_tris=leaf_tris)
-        b = bvh8.collapse(bvh, tp, lm, leaf_tris=leaf_tris)
+        a = oracle(bvh, tp, lm, leaf_tris=leaf_tris)
+        b = bvh8.collapse(bvh, tp, lm, leaf_tris=leaf_tris, policy=policy)
         assert b.table.shape == a.table.shape
         assert np.array_equal(a.table.view(np.int32), b.table.view(np.int32))
         assert (a.num_nodes, a.num_leaves) == (b.num_nodes, b.num_leaves)
+
+
+def test_sah_collapse_covers_all_triangles_and_costs_less():
+    """The SAH collapse must (a) place every triangle in exactly one leaf
+    row, and (b) never exceed the greedy policy's expected-visited-rows
+    cost (sum of emitted-row subtree areas — it is the DP optimum)."""
+    from cudapathtracer_tpu.scene import bvh8
+
+    for n, seed in [(500, 0), (3000, 3)]:
+        bvh, _ = build(n, seed, leaf=2, native=False)
+        p0, p1, p2 = make_tris(n, seed)
+        p0, p1, p2 = p0[bvh.perm], p1[bvh.perm], p2[bvh.perm]
+        tp = np.concatenate([p0, p1 - p0, p2 - p0],
+                            axis=1).astype(np.float32)
+        lm = np.zeros(n, bool)
+
+        def walk(b8):
+            """Walk the CBVH table from the root; returns (tri ids found in
+            leaf rows, expected-visited-rows SAH cost = sum of row areas /
+            root area) — the DP objective, recomputed from the table."""
+            tids, cost = [], 0.0
+            stack = [(0, False)]  # (row, is_leaf)
+            while stack:
+                r, is_leaf = stack.pop()
+                row = b8.table[r]
+                if is_leaf:
+                    ids = row[9 * 4:10 * 4].view(np.int32)
+                    tids.extend(int(t) for t in ids if t >= 0)
+                    continue
+                base, mask = row[48:50].view(np.int32)
+                box = row[0:48].reshape(6, 8)
+                for i in range(8):
+                    if not np.isfinite(box[0, i]):
+                        continue  # empty slot
+                    ext = np.maximum(box[3:6, i] - box[0:3, i], 0.0)
+                    cost += 2.0 * (ext[0] * ext[1] + ext[1] * ext[2]
+                                   + ext[2] * ext[0])
+                    stack.append((int(base) + i, bool((mask >> i) & 1)))
+            return tids, cost
+
+        costs = {}
+        for policy, fn in [("greedy", bvh8.collapse_py),
+                           ("sah", bvh8.collapse_sah_py)]:
+            b8 = fn(bvh, tp, lm, leaf_tris=4)
+            tids, cost = walk(b8)
+            assert np.array_equal(np.sort(tids), np.arange(n)), policy
+            costs[policy] = cost
+        # DP optimality: the SAH partition can only lower the expected
+        # visited-rows cost (root row is common to both; small float slack)
+        assert costs["sah"] <= costs["greedy"] * (1 + 1e-5)
