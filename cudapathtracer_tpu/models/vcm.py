@@ -181,7 +181,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pmask = (lbufs.valid & ~lbufs.is_delta).reshape(-1)
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
         rows = hashgrid.pack_photons(flat(lbufs.pt), flat(lbufs.wo),
-                                     flat(lbufs.n), flat(lbufs.beta),
+                                     flat(lbufs.beta),
                                      flat(lbufs.d_vcm), flat(lbufs.d_vm))
         table = hashgrid.photon_table_size(rows.shape[0])
         grid = hashgrid.build_grid(rows, pmask, scene.node_bounds[0, 0:3],
@@ -347,8 +347,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
 
             def merge_fold(colorsum, row, in_range):
-                photon_wi = row[:, 3:6]       # toward the photon's prev
-                p_d_vcm, p_d_vm = row[:, 12], row[:, 13]
+                # wi points toward the photon's prev vertex
+                _, photon_wi, p_beta, p_d_vcm, p_d_vm = \
+                    hashgrid.photon_fields(row)
                 wi_loc = to_local(photon_wi, normal)
                 f_val = bsdf_ops.bsdf_f(mat, albedo, wi_loc, eye_prev_loc,
                                         ones, transmission=trans)
@@ -361,7 +362,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                     + pdf_light_rev * p_d_vm
                 weight = 1.0 / (1.0 + w_eye + w_light)
-                contrib = row[:, 9:12] * f_val * thr * merge_norm
+                contrib = p_beta * f_val * thr * merge_norm
                 out = _weighted(contrib, weight, cfg)
                 return colorsum + jnp.where(in_range[:, None], out, 0.0)
 

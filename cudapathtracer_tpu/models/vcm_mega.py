@@ -568,8 +568,9 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                                             normal)
 
                 def merge_fold(csum, row, in_range):
-                    photon_wi = row[:, 3:6].T
-                    p_d_vcm, p_d_vm = row[:, 12], row[:, 13]
+                    _, p_wi, p_beta, p_d_vcm, p_d_vm = \
+                        hashgrid.photon_fields(row)
+                    photon_wi = p_wi.T
                     wi_loc = lm.to_localT(photon_wi, normal)
                     f_m = lm.bsdf_fT(mat, albedo, wi_loc, eye_prev_loc,
                                      ones, transmission=trans)
@@ -582,7 +583,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                         + pdf_light_rev * p_d_vm
                     wt = 1.0 / (1.0 + w_eye + w_light)
-                    contrib = row[:, 9:12].T * f_m * thr * merge_norm
+                    contrib = p_beta.T * f_m * thr * merge_norm
                     out = _weightedT(contrib, wt, cfg)
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
@@ -851,7 +852,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             pmask = (lbufs.valid & ~lbufs.is_delta).reshape(-1)
             flat = lambda a: a.reshape((-1,) + a.shape[2:])
             rows = hashgrid.pack_photons(flat(lbufs.pt), flat(lbufs.wo),
-                                         flat(lbufs.n), flat(lbufs.beta),
+                                         flat(lbufs.beta),
                                          flat(lbufs.d_vcm),
                                          flat(lbufs.d_vm))
             table = hashgrid.photon_table_size(rows.shape[0])

@@ -23,17 +23,25 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cudapathtracer_tpu.utils import packing
 from cudapathtracer_tpu.utils.math import next_prime
 
 P1, P2, P3 = 73856093, 19349663, 83492791  # integratorUtilities.cuh:407-409
 
-# photon row layout [16]: pos(0:3), wi(3:6) — direction toward the photon's
-# previous vertex, normal(6:9), beta(9:12), d_vcm(12), d_vm(13), pad(14:16)
-PHOTON_ROW = 16
+# Packed photon row layout [8] (32 B/photon — the hash-grid analogue of the
+# reference's compressed VCM vertex, objects.cuh:958-1157): pos(0:3) f32 —
+# precision-critical for cell hashing and the exact distance^2 test;
+# wi_oct(3) u32 octahedral direction toward the photon's previous vertex;
+# beta halves (4: r|g, 5: b|0 — the reference's half3 beta codec,
+# objects.cuh:1123-1133); d_vcm(6), d_vm(7) f32 — the recursive MIS weights
+# stay full precision like PathBuffers'. The photon's surface normal is NOT
+# stored: the merge estimator (deviceCode.cu:2968-3048) evaluates the BSDF
+# entirely in the EYE vertex frame, so no consumer ever read it.
+PHOTON_ROW = 8
 
 
 class PhotonGrid(NamedTuple):
-    rows: jax.Array        # [P, 16] f32 sorted photon rows
+    rows: jax.Array        # [P, 8] packed sorted photon rows (pack_photons)
     cell_start: jax.Array  # [T+1] i32
     cell_end: jax.Array    # [T+1] i32
     scene_min: jax.Array   # [3]
@@ -41,12 +49,27 @@ class PhotonGrid(NamedTuple):
     table_size: int        # static
 
 
-def pack_photons(pos, wi, normal, beta, d_vcm, d_vm):
-    """Assemble photon rows [P, 16] from SoA components [P, ...]."""
-    p = pos.shape[0]
-    pad = jnp.zeros((p, 2), jnp.float32)
+def pack_photons(pos, wi, beta, d_vcm, d_vm):
+    """Assemble packed photon rows [P, 8] from SoA components [P, ...]."""
+    f32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.float32)
+    wi_oct = f32(packing.pack_oct(wi))
+    b_rg = f32(packing.pack_half2(beta[:, 0], beta[:, 1]))
+    b_b = f32(packing.pack_half2(beta[:, 2], jnp.zeros_like(beta[:, 2])))
     return jnp.concatenate(
-        [pos, wi, normal, beta, d_vcm[:, None], d_vm[:, None], pad], axis=1)
+        [pos, wi_oct[:, None], b_rg[:, None], b_b[:, None],
+         d_vcm[:, None], d_vm[:, None]], axis=1)
+
+
+def photon_fields(row):
+    """Decode packed photon rows [N, 8] -> (pos [N,3], wi [N,3], beta [N,3],
+    d_vcm [N], d_vm [N])."""
+    u32 = lambda f: jax.lax.bitcast_convert_type(f, jnp.uint32)
+    pos = row[:, 0:3]
+    wi = packing.unpack_oct(u32(row[:, 3]))
+    br, bg = packing.unpack_half2(u32(row[:, 4]))
+    bb, _ = packing.unpack_half2(u32(row[:, 5]))
+    beta = jnp.stack([br, bg, bb], axis=-1)
+    return pos, wi, beta, row[:, 6], row[:, 7]
 
 
 def _cell_of(pos, scene_min, cell_size):
@@ -62,7 +85,7 @@ def build_grid(rows, valid, scene_min, merge_radius, table_size: int
                ) -> PhotonGrid:
     """Sort photon rows by cell hash and record bucket boundaries.
 
-    rows: [P,16]; valid: [P] bool (invalid photons land in a sentinel bucket
+    rows: [P,8] packed (pack_photons); valid: [P] bool (invalid photons land in a sentinel bucket
     that queries never touch). table_size: static, e.g.
     next_prime(2 * max_photons) like the reference (deviceCode.cu:3290).
     """
@@ -88,7 +111,7 @@ def build_grid(rows, valid, scene_min, merge_radius, table_size: int
 
 def gather_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                      max_per_cell: int, active=None):
-    """Yield (photon_row [N,16], in_range [N]) for every candidate slot.
+    """Yield (packed photon_row [N,8], in_range [N]) for every candidate slot.
 
     Iterates the 8 corner-neighborhood cells x max_per_cell slots (static
     python loops -> fixed shapes). in_range already includes the exact
@@ -127,7 +150,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                    max_per_cell: int, fold, init, active=None):
     """Rolled-control-flow variant of gather_neighbors: scan over the 8
     corner cells with an inner fori over slots, folding
-    fold(carry, photon_row [N,16], in_range [N]) -> carry.
+    fold(carry, packed photon_row [N,8], in_range [N]) -> carry.
 
     Identical candidate set and runtime cost to the generator form, but the
     fold body compiles ONCE instead of 8*max_per_cell times — inside the VCM

@@ -86,6 +86,29 @@ def from_half3(c: jnp.ndarray) -> jnp.ndarray:
     return c.astype(jnp.float32)
 
 
+def pack_half2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two float32 [...] -> one uint32 (a in low 16 bits as f16, b high).
+
+    The word-level form of the reference's half3 codec, for packing halves
+    into mixed u32 rows (objects.cuh:1123-1133 semantics)."""
+    import jax
+    lo = jax.lax.bitcast_convert_type(a.astype(jnp.float16),
+                                      jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(b.astype(jnp.float16),
+                                      jnp.uint16).astype(jnp.uint32)
+    return lo | (hi << 16)
+
+
+def unpack_half2(u: jnp.ndarray):
+    """uint32 [...] -> (a, b) float32."""
+    import jax
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = ((u >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    a = jax.lax.bitcast_convert_type(lo, jnp.float16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(hi, jnp.float16).astype(jnp.float32)
+    return a, b
+
+
 # Packed VCM flag word layout (objects.cuh:945-1004 semantics):
 #   bit 31: isDelta, bit 30: backface, bits 29..10: lightInd+1 (20 bits, 0 = none),
 #   bits 9..0: materialID (10 bits).

@@ -41,7 +41,7 @@ def test_hashgrid_neighbor_completeness():
     p = 512
     pos = rs.uniform(-1, 1, (p, 3)).astype(np.float32)
     rows = hashgrid.pack_photons(
-        jnp.asarray(pos), jnp.zeros((p, 3)), jnp.zeros((p, 3)),
+        jnp.asarray(pos), jnp.zeros((p, 3)),
         jnp.ones((p, 3)), jnp.zeros((p,)), jnp.zeros((p,)))
     r = 0.15
     table = hashgrid.photon_table_size(p)
