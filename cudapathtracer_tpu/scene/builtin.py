@@ -52,24 +52,27 @@ def icosphere(subdivisions: int = 3, radius: float = 1.0,
         [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
 
     for _ in range(subdivisions):
-        edge_mid = {}
-        vlist = list(verts)
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edge_mid:
-                m = (verts[a] + verts[b]) / 2.0
-                m /= np.linalg.norm(m)
-                edge_mid[key] = len(vlist)
-                vlist.append(m)
-            return edge_mid[key]
-
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.asarray(vlist)
-        faces = np.asarray(new_faces, np.int64)
+        # vectorized midpoint split: unique undirected edges -> one new
+        # vertex each. Face ORDER is preserved (each parent face yields its
+        # 4 children contiguously), so downstream triangle streams — and
+        # therefore BVH builds and renders — are bit-identical to the old
+        # per-face dict walk (vertex NUMBERING differs, but triangles are
+        # denormalized before any device use).
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        edges = np.concatenate([np.stack([a, b], 1), np.stack([b, c], 1),
+                                np.stack([c, a], 1)])
+        edges = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+        mids = (verts[uniq[:, 0]] + verts[uniq[:, 1]]) / 2.0
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        f = faces.shape[0]
+        mid_idx = len(verts) + inv
+        ab, bc, ca = mid_idx[:f], mid_idx[f:2 * f], mid_idx[2 * f:]
+        quads = np.stack([
+            np.stack([a, ab, ca], 1), np.stack([b, bc, ab], 1),
+            np.stack([c, ca, bc], 1), np.stack([ab, bc, ca], 1)], axis=1)
+        verts = np.concatenate([verts, mids])
+        faces = quads.reshape(-1, 3).astype(np.int64)
 
     verts = verts * radius + np.asarray(center, np.float64)
     return verts.astype(np.float32), faces.astype(np.int32)

@@ -117,21 +117,32 @@ def _sah_split_pos(idx, centroids, amins, amaxs, axis, min_b, max_b):
 
 
 def build_bvh(centroids: np.ndarray, amins: np.ndarray, amaxs: np.ndarray,
-              max_leaf_size: int = 2, use_native: bool = True) -> BVH:
+              max_leaf_size: int = 2, use_native: bool = True,
+              thread: bool = True) -> BVH:
     """Top-down SAH build (buildBVH, main.cu:133-233), iterative.
 
     Node order matches the reference's recursion (pre-order, left subtree
     fully before right), so flat node indices agree with a recursive build.
+
+    thread=False skips the per-octant threaded (hit, miss) links — a
+    Python-loop cost only the binary "threaded" traversal engine consumes
+    (the default BVH8 engine never reads them); `links` is then a [1,8,2]
+    sentinel.
     """
     n = centroids.shape[0]
     if n == 0:
         raise ValueError("empty scene")
 
+    def mk_links(left, right, axis, leaf):
+        if thread:
+            return thread_links(left, right, axis, leaf)
+        return np.full((1, 8, 2), -1, np.int32)
+
     if use_native:
         native = native_build_bvh(centroids, amins, amaxs, max_leaf_size)
         if native is not None:
             left, right, axis, leaf, bounds, perm = native
-            links = thread_links(left, right, axis, leaf)
+            links = mk_links(left, right, axis, leaf)
             return BVH(bounds=bounds, leaf=leaf, links=links, perm=perm,
                        left=left, right=right, axis=axis)
 
@@ -209,7 +220,7 @@ def build_bvh(centroids: np.ndarray, amins: np.ndarray, amaxs: np.ndarray,
     left = np.asarray(left_l, np.int32)
     right = np.asarray(right_l, np.int32)
     axis = np.asarray(axis_l, np.int32)
-    links = thread_links(left, right, axis, leaf)
+    links = mk_links(left, right, axis, leaf)
     return BVH(bounds=bounds, leaf=leaf, links=links, perm=perm,
                left=left, right=right, axis=axis)
 

@@ -9,6 +9,7 @@ leaf reads and shading interpolation are pure row gathers.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -123,7 +124,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
                 textures: np.ndarray | None = None, max_leaf_size: int = 2,
                 use_native_bvh: bool = True,
                 traversal: str = "bvh8",
-                bvh8_leaf_tris: int = 4) -> tuple[Scene, bvh_mod.BVH]:
+                bvh8_leaf_tris: int = 4,
+                bvh8_policy: str | None = None) -> tuple[Scene, bvh_mod.BVH]:
     """Build the BVH and upload everything as a Scene pytree.
 
     Returns (scene, host_bvh) — the host BVH is kept for stats/tests.
@@ -137,8 +139,13 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     p2 = pos[mesh.pos_idx[:, 2]]
 
     centroids, amins, amaxs = bvh_mod.triangle_bounds(p0, p1, p2)
+    # the threaded-link table and the packed binary-node rows are consumed
+    # only by the binary "threaded" engine — skip their Python-loop build
+    # cost (the dominant host cost at ~100k tris) under the default BVH8
+    want_threaded = traversal == "threaded"
     bvh = bvh_mod.build_bvh(centroids, amins, amaxs, max_leaf_size,
-                            use_native=use_native_bvh)
+                            use_native=use_native_bvh,
+                            thread=want_threaded)
     perm = bvh.perm
 
     p0, p1, p2 = p0[perm], p1[perm], p2[perm]
@@ -187,13 +194,17 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
 
     mat_types = np.asarray(table.type)
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
-    node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
+    if want_threaded:
+        node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
+    else:
+        node_packed = np.zeros((1, 8), np.float32)  # sentinel, never read
     tri_shade_row = _pack_shade_rows(table, tri_n, tri_uv, tri_emission,
                                      tri_light, tri_mat, area)
 
     from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
+    policy = bvh8_policy or os.environ.get("TPT_BVH8_POLICY", "sah")
     bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat,
-                             leaf_tris=bvh8_leaf_tris)
+                             leaf_tris=bvh8_leaf_tris, policy=policy)
 
     if tri_is_leaf_mat.any():
         t = tri_pack.shape[0]
