@@ -96,6 +96,10 @@ class Renderer:
             from cudapathtracer_tpu.scene.textures import reference_atlas
             atlas, wins = reference_atlas()
             materials = builtin_materials(wins)
+            if cfg.materials:  # `Materials` config section (extension)
+                from cudapathtracer_tpu.scene.materials import (
+                    apply_material_configs)
+                materials = apply_material_configs(materials, cfg.materials)
             if textures is None:
                 textures = atlas
 

@@ -212,3 +212,51 @@ def builtin_materials(tex_windows: list[tuple[int, int, int]] | None = None) -> 
         Material.diffuse((0.1, 0.9, 0.1)),                      # 23 very green
     ]
     return mats
+
+
+# `Materials` config-section kinds -> constructors (framework extension;
+# the reference hard-codes its registry, main.cu:397-446). Every kind maps
+# onto an existing factory so config-built materials carry exactly the same
+# invariants (specular/boundary/thin-walled flags) as builtin ones.
+_MATERIAL_KINDS = {
+    "diffuse": lambda albedo=(0.8, 0.8, 0.8): Material.diffuse(albedo),
+    "metal": lambda eta=(0.17, 0.35, 1.5), k=None, roughness=0.1:
+        Material.metal(eta, eta if k is None else k, roughness),
+    "dielectric": lambda ior=1.5, absorption=(0.0, 0.0, 0.0), priority=0:
+        Material.smooth_dielectric(ior, absorption, priority),
+    "glass": lambda ior=1.5, absorption=(0.0, 0.0, 0.0), priority=0:
+        Material.smooth_dielectric(ior, absorption, priority),
+    "leaf": Material.leaf,
+    "mirror": lambda: Material.mirror(),
+    "raw": lambda **kw: Material(**{
+        k: tuple(v) if isinstance(v, tuple) else v for k, v in kw.items()}),
+}
+
+
+def apply_material_configs(base: list[Material], entries) -> list[Material]:
+    """Apply `Materials` config-section overrides onto a registry copy.
+
+    entries: iterable with .material_id / .kind / .params
+    (utils.config.MaterialConfig). Ids beyond the registry grow it (gaps
+    filled with grey diffuse). Material 0 is the ambient medium and may only
+    be replaced by another boundary material (the medium stack's bottom
+    entry must stay a medium, models/common.py)."""
+    mats = list(base)
+    for e in entries:
+        kind = e.kind.lower()
+        ctor = _MATERIAL_KINDS.get(kind)
+        if ctor is None:
+            raise ValueError(
+                f"Materials line: unknown kind {e.kind!r}; expected one of "
+                f"{sorted(_MATERIAL_KINDS)}")
+        mat = ctor(**e.params)
+        if e.material_id < 0:
+            raise ValueError(f"Materials line: bad id {e.material_id}")
+        if e.material_id == 0 and not mat.boundary:
+            raise ValueError(
+                "Materials line: id 0 is the ambient medium and must be a "
+                "boundary material (dielectric)")
+        while len(mats) <= e.material_id:
+            mats.append(Material.diffuse((0.5, 0.5, 0.5)))
+        mats[e.material_id] = mat
+    return mats

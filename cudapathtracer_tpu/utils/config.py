@@ -33,6 +33,22 @@ class MeshConfig:
 
 
 @dataclass
+class MaterialConfig:
+    """One `Materials` section line (framework extension): replaces the
+    builtin registry entry at `material_id` with a factory-built material.
+
+    Line format:  id; kind; key=value; key=value; ...
+    e.g.          12; metal; eta=(0.2,0.9,1.1); k=(3.9,2.4,2.1); roughness=0.05
+    Kinds: diffuse, metal, dielectric, leaf, mirror, raw (raw = any
+    Material field verbatim). The reference hard-codes its 24 materials
+    (main.cu:397-446); this section makes them configurable while keeping
+    the builtin registry as the base so existing configs are unchanged."""
+    material_id: int
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
 class RenderConfig:
     # Window / system
     width: int = 0
@@ -77,6 +93,7 @@ class RenderConfig:
 
     # Assets
     meshes: List[MeshConfig] = field(default_factory=list)
+    materials: List[MaterialConfig] = field(default_factory=list)
 
     # Framework extensions (not in the reference format; defaults preserve
     # reference behavior)
@@ -185,15 +202,51 @@ def load_config(path: str) -> RenderConfig:
         return parse_config(f.read())
 
 
+def _parse_material_value(v: str):
+    """Typed value for a `Materials` line param: vec3, bool, or number."""
+    v = v.strip()
+    if "(" in v:
+        return _parse_vec3(v)
+    low = v.lower()
+    if low in ("true", "false", "yes", "no", "on", "off"):
+        return _parse_bool(v)
+    f = float(v)
+    return int(f) if f.is_integer() and "." not in v and "e" not in low \
+        else f
+
+
+def _parse_material_line(line: str) -> MaterialConfig | None:
+    parts = [p.strip() for p in line.split(";")]
+    if len(parts) < 2 or not parts[0].lstrip("+-").isdigit():
+        return None
+    params = {}
+    for p in parts[2:]:
+        if not p or "=" not in p:
+            continue
+        k, _, v = p.partition("=")
+        params[k.strip()] = _parse_material_value(v)
+    return MaterialConfig(material_id=int(parts[0]),
+                          kind=parts[1].lower(), params=params)
+
+
 def parse_config(text: str) -> RenderConfig:
     cfg = RenderConfig()
     parsing_meshes = False
+    parsing_materials = False
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
         if line.startswith("Meshes"):
-            parsing_meshes = True
+            parsing_meshes, parsing_materials = True, False
+            continue
+        if line.startswith("Materials"):
+            parsing_materials, parsing_meshes = True, False
+            continue
+        if parsing_materials:
+            mc = _parse_material_line(line)
+            if mc is not None:
+                cfg.materials.append(mc)
             continue
         if parsing_meshes:
             parts = [p.strip() for p in line.split(";")]

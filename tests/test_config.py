@@ -80,3 +80,79 @@ def test_integrator_aliases():
     assert match_integrator("BDPT") == "BIDIRECTIONAL"
     assert match_integrator("naive") == "NAIVE_UNIDIRECTIONAL"
     assert match_integrator("pt") == "UNIDIRECTIONAL"
+
+
+MATERIALS_SECTION = textwrap.dedent("""
+    width: 8
+    height: 8
+
+    Materials (id; kind; key=value; ...):
+    6; diffuse; albedo=(0.1, 0.2, 0.9)
+    4; metal; eta=(0.2, 0.9, 1.1); k=(3.9, 2.4, 2.1); roughness=0.25
+    5; dielectric; ior=1.7; priority=3
+    30; leaf; transmission=0.4; albedo=(0.2, 0.7, 0.2)
+    19; mirror
+
+    Meshes (path; multiplier * emission; materialID):
+    builtin:cornell_blocks; 1.0 * (0.0, 0.0, 0.0); 2
+""")
+
+
+def test_parse_materials_section():
+    cfg = parse_config(MATERIALS_SECTION)
+    assert len(cfg.materials) == 5
+    m0 = cfg.materials[0]
+    assert (m0.material_id, m0.kind) == (6, "diffuse")
+    assert m0.params == {"albedo": (0.1, 0.2, 0.9)}
+    m1 = cfg.materials[1]
+    assert m1.params["roughness"] == 0.25
+    assert m1.params["k"] == (3.9, 2.4, 2.1)
+    assert cfg.materials[2].params == {"ior": 1.7, "priority": 3}
+    assert cfg.materials[4].kind == "mirror"
+    # the mesh section still parses after a Materials section
+    assert len(cfg.meshes) == 1 and cfg.meshes[0].material_id == 2
+
+
+def test_apply_material_configs():
+    import pytest
+
+    from cudapathtracer_tpu.scene.materials import (
+        MAT_DELTAMIRROR, MAT_LEAF, MAT_METAL, apply_material_configs,
+        builtin_materials)
+
+    cfg = parse_config(MATERIALS_SECTION)
+    mats = apply_material_configs(builtin_materials(), cfg.materials)
+    assert mats[6].albedo == (0.1, 0.2, 0.9)
+    assert mats[4].type == MAT_METAL and mats[4].roughness == 0.25
+    assert mats[5].ior == 1.7 and mats[5].priority == 3 and mats[5].boundary
+    # registry grows to id 30; gap filled with grey diffuse
+    assert len(mats) == 31
+    assert mats[30].type == MAT_LEAF and mats[30].transmission == 0.4
+    assert mats[25].albedo == (0.5, 0.5, 0.5)
+    assert mats[19].type == MAT_DELTAMIRROR
+    # untouched entries are the builtin registry
+    base = builtin_materials()
+    assert mats[2] == base[2]
+
+    from cudapathtracer_tpu.utils.config import MaterialConfig
+    with pytest.raises(ValueError):
+        apply_material_configs(base, [MaterialConfig(0, "diffuse", {})])
+    with pytest.raises(ValueError):
+        apply_material_configs(base, [MaterialConfig(1, "nope", {})])
+    # id 0 replaceable by a boundary material (a denser ambient medium)
+    mats0 = apply_material_configs(
+        base, [MaterialConfig(0, "dielectric", {"ior": 1.33})])
+    assert mats0[0].ior == 1.33 and mats0[0].boundary
+
+
+def test_materials_section_changes_render_table():
+    import numpy as np
+
+    from cudapathtracer_tpu.driver import Renderer
+
+    base = parse_config(MATERIALS_SECTION)
+    r = Renderer(base)
+    # material 6 (Cornell red wall in the builtin registry) now blue-ish
+    alb = np.asarray(r.scene.materials.albedo)
+    assert np.allclose(alb[6], (0.1, 0.2, 0.9), atol=1e-6)
+    assert alb.shape[0] == 31
