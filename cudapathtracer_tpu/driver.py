@@ -261,28 +261,68 @@ class Renderer:
         return img
 
     # ------------------------------------------------------------------
+    # Checkpoint formats: "<path>.npz" = single-file numpy (default);
+    # any other path = an Orbax directory checkpoint (async-capable,
+    # restores sharded accumulation buffers natively under a device mesh
+    # — the right format for multi-chip progressive renders). Both hold
+    # the same exact-resume state: accumulation buffer + sample counter
+    # (+config echo). RNG needs no state — Threefry streams are positional.
+    def _meta(self) -> dict:
+        return {"w": self.cfg.width, "h": self.cfg.height,
+                "seed": self.cfg.seed, "integrator": self.cfg.integrator}
+
+    def _check_meta(self, meta: dict):
+        if (meta["w"], meta["h"]) != (self.cfg.width, self.cfg.height):
+            raise ValueError("checkpoint resolution mismatch")
+        if (meta["seed"] != self.cfg.seed
+                or meta["integrator"] != self.cfg.integrator):
+            raise ValueError("checkpoint config mismatch")
+
     def save_checkpoint(self, path: str):
-        """Exact-resume state: accumulation buffer + sample counter (+config
-        echo). RNG needs no state — Threefry streams are positional."""
+        if not path.endswith(".npz"):
+            return self._save_checkpoint_orbax(path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"
         np.savez_compressed(
             tmp[:-4],  # savez appends .npz
             accum=np.asarray(self.accum),
             sample_count=self.sample_count,
-            config=json.dumps({"w": self.cfg.width, "h": self.cfg.height,
-                               "seed": self.cfg.seed,
-                               "integrator": self.cfg.integrator}))
+            config=json.dumps(self._meta()))
         os.replace(tmp, path)
 
     def load_checkpoint(self, path: str):
+        if not path.endswith(".npz"):
+            return self._load_checkpoint_orbax(path)
         data = np.load(path, allow_pickle=False)
-        meta = json.loads(str(data["config"]))
-        if (meta["w"], meta["h"]) != (self.cfg.width, self.cfg.height):
-            raise ValueError("checkpoint resolution mismatch")
-        if meta["seed"] != self.cfg.seed or meta["integrator"] != self.cfg.integrator:
-            raise ValueError("checkpoint config mismatch")
+        self._check_meta(json.loads(str(data["config"])))
         self.accum = jnp.asarray(data["accum"])
+        self.sample_count = int(data["sample_count"])
+
+    def _save_checkpoint_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path,
+                       {"accum": self.accum,
+                        "sample_count": np.int64(self.sample_count)},
+                       force=True)
+        with open(os.path.join(path, "render_meta.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(self._meta(), f)
+
+    def _load_checkpoint_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        with open(os.path.join(path, "render_meta.json"),
+                  encoding="utf-8") as f:
+            self._check_meta(json.load(f))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            # restore with the live accum's sharding/dtype as the target so
+            # a mesh-sharded progressive render resumes sharded
+            data = ckptr.restore(
+                path, item={"accum": self.accum,
+                            "sample_count": np.int64(0)})
+        self.accum = data["accum"]
         self.sample_count = int(data["sample_count"])
 
 

@@ -72,3 +72,29 @@ def test_checkpoint_mismatch_rejected(tmp_path):
     r2 = Renderer(make_cfg(tmp_path, seed=7))
     with pytest.raises(ValueError):
         r2.load_checkpoint(ck)
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """Non-.npz checkpoint paths select the Orbax directory format
+    (docs/ROADMAP.md item 9); resume must be bit-exact like npz."""
+    ck = os.path.join(str(tmp_path), "ck_orbax")
+    r1 = Renderer(make_cfg(tmp_path))
+    r1.render(num_samples=2, progressive=False, verbose=False)
+    r1.save_checkpoint(ck)
+    assert os.path.isdir(ck)
+
+    r2 = Renderer(make_cfg(tmp_path))
+    r2.load_checkpoint(ck)
+    assert r2.sample_count == 2
+    np.testing.assert_array_equal(np.asarray(r2.accum), np.asarray(r1.accum))
+
+    r3 = Renderer(make_cfg(tmp_path, seed=7))
+    with pytest.raises(ValueError):
+        r3.load_checkpoint(ck)
+
+    # overwrite-in-place works (progressive saves hit the same path)
+    r1.render(num_samples=3, progressive=False, verbose=False)
+    r1.save_checkpoint(ck)
+    r4 = Renderer(make_cfg(tmp_path))
+    r4.load_checkpoint(ck)
+    assert r4.sample_count == 3
