@@ -184,8 +184,10 @@ def main():
                     help="skip the BDPT/VCM/SPPM integrator benches")
     ap.add_argument("--classic", action="store_true",
                     help="classic per-bounce wavefront for the headline")
-    ap.add_argument("--width", type=int, default=103680,
-                    help="mega wavefront lane count (v5e sweet spot)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="mega wavefront lane count; 0 = engine default "
+                         "(models/unidirectional_mega.MEGA_WIDTH, the v5e "
+                         "sweep optimum)")
     args = ap.parse_args()
 
     # pay the remote-tunnel first-transfer initialization outside the timers

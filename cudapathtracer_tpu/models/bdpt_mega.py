@@ -63,11 +63,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # conn-table memory bounds the chunk like vcm_mega
     c_pix0 = min(chunk_pixels or max(p_total // max(
         1, -(-p_total // (1 << 20))), 1), p_total)
-    w = min(width or c_pix0, c_pix0)
+    w = min(width or vm.MEGA_WIDTH, c_pix0)
     gens = -(-c_pix0 // w)
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    k_slots = 2 * gens + 8
+    k_slots = int(gens * vm.KSLOTS_FACTOR) + 8
 
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)

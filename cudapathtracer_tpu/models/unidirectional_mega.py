@@ -67,8 +67,24 @@ _D_RR = 8
 # spi 1/4/8 on the 16x16 golden), so the test suite dials these down via
 # the environment exactly like ops/traverse.py — the image is invariant to
 # the schedule (RNG is keyed by global pixel id + per-lane bounce counter).
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "24"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "16"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "16"))
+# Default lane count of the persistent machine. Measured on v5e (1080p
+# Cornell+mesh sweep, 2026-08): full-frame lanes (2M) ride the pixel queue
+# with huge idle drain tails — 5.4 Mrays/s; ~52k lanes with the dynamic
+# queue feeding them hit 6.5 Mrays/s at 31 lane-steps/ray (25920 ties at
+# 18 steps/ray but runs 846 iterations vs 713 — more host dispatches).
+# Width never changes the image (RNG keyed by global pixel id).
+# 1080p same-hour sweep with fused retirement + KSLOTS_FACTOR=1:
+# w=51840: 6.5, 25920: 7.4, 12960: 7.86, 6480: 7.38 Mrays/s -> 12960.
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
+# Retire-slot capacity factor: k_slots = factor*gens + 8. Any factor >= 1
+# is exact (all lanes slot-full while queue pixels remain is impossible:
+# W*(gens+8) > gens*W = queue length, so some lane always has a free slot
+# and the queue drains); the factor only trades load-balance tail time
+# against the [K,3,W] retirement sweep per transition (K=168 -> 88 at
+# w=25920/1080p measured -440 us/iteration).
+KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 
 
 class _MState(NamedTuple):
@@ -145,13 +161,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # 11% -> 19%). The [G,3,W] accumulator keeps the carry streamable
         # at any frame size, so chunking is now only an explicit override.
         c_pix0 = p_total
-    w = min(width or c_pix0, c_pix0)
+    w = min(width or MEGA_WIDTH, c_pix0)
     gens = -(-c_pix0 // w)       # mean paths per lane per chunk
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    # retire-slot capacity per lane: the dynamic queue load-balances, so
-    # no lane should serve much more than ~2x the mean path count
-    k_slots = 2 * gens + 8
+    k_slots = int(gens * KSLOTS_FACTOR) + 8
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
     pxf = px.astype(jnp.float32)
@@ -329,11 +343,13 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # paths must not serialize them while other lanes idle (a static
         # per-lane pixel assignment measured 330 tail iterations vs the
         # queue's ~130 at 1080p).
-        acc, ret_pid = s.acc, s.ret_pid
-        for kk in range(k_slots):
-            mg = dead & (s.ret_count == kk)
-            acc = acc.at[kk].set(jnp.where(mg[None, :], li, acc[kk]))
-            ret_pid = ret_pid.at[kk].set(jnp.where(mg, pid, ret_pid[kk]))
+        # one fused one-hot select over [K,3,W] instead of K sequential
+        # masked at[k].set ops (the op-per-slot loop measured +440 us per
+        # iteration at K=88..168: each update re-traverses the buffer)
+        kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
+        mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
+        acc = jnp.where(mg[:, None, :], li[None, :, :], s.acc)
+        ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
         ret_count = s.ret_count + dead.astype(jnp.int32)
         pid = jnp.where(dead, -1, pid)
 

@@ -85,8 +85,11 @@ _D_NEE = 16    # 3 draws
 
 _ID_STRIDE = 64  # ids = global_pixel_index * 64 + depth; eye_depth < 64
 
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "24"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "16"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "16"))
+# tuned default lane count + retire-slot factor — see unidirectional_mega
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
+KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 
 
 def _clampT(c):
@@ -658,11 +661,11 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         dead = dead | (commit & ~alive)
 
         pid = s.pid
-        acc, ret_pid = s.acc, s.ret_pid
-        for kk in range(k_slots):
-            mg = dead & (s.ret_count == kk)
-            acc = acc.at[kk].set(jnp.where(mg[None, :], li, acc[kk]))
-            ret_pid = ret_pid.at[kk].set(jnp.where(mg, pid, ret_pid[kk]))
+        # fused one-hot retirement — see unidirectional_mega.transition
+        kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
+        mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
+        acc = jnp.where(mg[:, None, :], li[None, :, :], s.acc)
+        ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
         ret_count = s.ret_count + dead.astype(jnp.int32)
         pid = jnp.where(dead, -1, pid)
 
@@ -792,11 +795,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # bounds the chunk at very large frames (rows ~ L*c_pix*32 floats)
     c_pix0 = min(chunk_pixels or max(p_total // max(
         1, -(-p_total // (1 << 20))), 1), p_total)
-    w = min(width or c_pix0, c_pix0)
+    w = min(width or MEGA_WIDTH, c_pix0)
     gens = -(-c_pix0 // w)
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    k_slots = 2 * gens + 8
+    k_slots = int(gens * KSLOTS_FACTOR) + 8
 
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)

@@ -134,17 +134,21 @@ class MaterialTable:
                                 for f in dataclasses.fields(self)})
 
 
-def build_table(mats: list[Material]) -> MaterialTable:
-    import jax.numpy as jnp
+def build_table(mats: list[Material], device: bool = True) -> MaterialTable:
+    """Build the material SoA. device=True uploads with ONE batched
+    jax.device_put of the whole pytree — 18 sequential per-column puts each
+    paid the remote-tunnel round-trip (~25-50 ms) and dominated scene-build
+    host time. device=False keeps numpy columns (used by build_scene, which
+    packs per-triangle rows host-side and uploads everything at once)."""
 
     def col(name, dtype, dim=None):
         vals = [getattr(m, name) for m in mats]
         arr = np.asarray(vals, dtype=dtype)
         if dim is not None:
             arr = arr.reshape(len(mats), dim)
-        return jnp.asarray(arr)
+        return arr
 
-    return MaterialTable(
+    table = MaterialTable(
         type=col("type", np.int32),
         albedo=col("albedo", np.float32, 3),
         roughness=col("roughness", np.float32),
@@ -164,6 +168,7 @@ def build_table(mats: list[Material]) -> MaterialTable:
         trans_tex_width=col("trans_tex_width", np.int32),
         trans_tex_height=col("trans_tex_height", np.int32),
     )
+    return jax.device_put(table) if device else table
 
 
 def builtin_materials(tex_windows: list[tuple[int, int, int]] | None = None) -> list[Material]:

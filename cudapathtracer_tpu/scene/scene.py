@@ -188,17 +188,22 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     radius = 0.5 * float(np.linalg.norm(root_max - root_min))
 
     if isinstance(materials, MaterialTable):
+        # caller-provided table may hold device columns; pull ONE host copy
+        # for the row packers below (per-column np.asarray pulls each paid
+        # a remote-tunnel round-trip)
         table = materials
+        htab = jax.device_get(table)
     else:
-        table = build_table(materials)
+        # keep columns on host; they ride the single scene device_put below
+        table = htab = build_table(materials, device=False)
 
-    mat_types = np.asarray(table.type)
+    mat_types = np.asarray(htab.type)
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
     if want_threaded:
         node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)
     else:
         node_packed = np.zeros((1, 8), np.float32)  # sentinel, never read
-    tri_shade_row = _pack_shade_rows(table, tri_n, tri_uv, tri_emission,
+    tri_shade_row = _pack_shade_rows(htab, tri_n, tri_uv, tri_emission,
                                      tri_light, tri_mat, area)
 
     from cudapathtracer_tpu.scene import bvh8 as bvh8_mod
@@ -210,38 +215,43 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         t = tri_pack.shape[0]
         tri_shadow = np.zeros((t, 16), np.float32)
         tri_shadow[:, 0:9] = tri_n.reshape(t, 9)
-        alb = np.asarray(table.albedo)[tri_mat]
-        tri_shadow[:, 9:12] = alb
-        tri_shadow[:, 12] = np.asarray(table.transmission)[tri_mat]
-        tri_shadow[:, 13] = np.asarray(table.ior)[tri_mat]
+        tri_shadow[:, 9:12] = htab.albedo[tri_mat]
+        tri_shadow[:, 12] = htab.transmission[tri_mat]
+        tri_shadow[:, 13] = htab.ior[tri_mat]
     else:
         tri_shadow = np.zeros((1, 16), np.float32)
 
+    # assemble the whole scene host-side, then upload with ONE batched
+    # jax.device_put: ~25 sequential jnp.asarray puts each paid the remote
+    # TPU tunnel's per-transfer round-trip and dominated scene-build time
+    # (the reference's analogous upload is the cudaMemcpy block,
+    # main.cu:484-557)
+    f32 = lambda a: np.asarray(a, np.float32)
     scene = Scene(
-        tri_pack=jnp.asarray(tri_pack),
-        tri_n=jnp.asarray(tri_n, jnp.float32),
-        tri_uv=jnp.asarray(tri_uv, jnp.float32),
-        tri_mat=jnp.asarray(tri_mat, jnp.int32),
-        tri_emission=jnp.asarray(tri_emission, jnp.float32),
-        tri_light=jnp.asarray(tri_light, jnp.int32),
-        tri_area=jnp.asarray(area, jnp.float32),
-        node_bounds=jnp.asarray(bvh.bounds),
-        node_leaf=jnp.asarray(bvh.leaf),
-        node_links=jnp.asarray(bvh.links.reshape(-1, 2)),
-        node_packed=jnp.asarray(node_packed),
-        tri_shadow=jnp.asarray(tri_shadow),
-        tri_shade_row=jnp.asarray(tri_shade_row),
-        bvh8_table=jnp.asarray(bvh8.table),
-        light_p0=jnp.asarray(light_p0),
-        light_p1=jnp.asarray(light_p1),
-        light_p2=jnp.asarray(light_p2),
-        light_normal=jnp.asarray(light_normal),
-        light_emission=jnp.asarray(light_emission),
-        light_area=jnp.asarray(light_area),
-        light_tri=jnp.asarray(lsel),
+        tri_pack=f32(tri_pack),
+        tri_n=f32(tri_n),
+        tri_uv=f32(tri_uv),
+        tri_mat=np.asarray(tri_mat, np.int32),
+        tri_emission=f32(tri_emission),
+        tri_light=np.asarray(tri_light, np.int32),
+        tri_area=f32(area),
+        node_bounds=f32(bvh.bounds),
+        node_leaf=np.asarray(bvh.leaf),
+        node_links=np.asarray(bvh.links.reshape(-1, 2)),
+        node_packed=f32(node_packed),
+        tri_shadow=f32(tri_shadow),
+        tri_shade_row=f32(tri_shade_row),
+        bvh8_table=f32(bvh8.table),
+        light_p0=f32(light_p0),
+        light_p1=f32(light_p1),
+        light_p2=f32(light_p2),
+        light_normal=f32(light_normal),
+        light_emission=f32(light_emission),
+        light_area=f32(light_area),
+        light_tri=np.asarray(lsel, np.int32),
         materials=table,
-        textures=jnp.asarray(textures, jnp.float32),
-        scene_radius=jnp.float32(radius),
+        textures=f32(textures),
+        scene_radius=np.float32(radius),
         num_lights=num_lights,
         max_leaf_size=int(bvh.leaf[:, 1].max()),
         has_leaf_materials=bool(tri_is_leaf_mat.any()),
@@ -250,7 +260,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         traversal=traversal,
         bvh8_leaf_tris=bvh8.leaf_tris,
     )
-    return scene, bvh
+    return jax.device_put(scene), bvh
 
 
 LEAF_MAT_FLAG = 1 << 30  # bit30 of a packed triangle id: material is MAT_LEAF

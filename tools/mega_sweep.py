@@ -35,13 +35,14 @@ def main():
         acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 0, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
-        jax.block_until_ready(acc)
+        _ = float(acc.sum())  # true readback barrier — block_until_ready
+        # on a remote axon array has returned early (bogus ~0 s timings)
         comp = time.perf_counter() - t0
         t0 = time.perf_counter()
         acc, rays, it, fires, busy = mega.render_sample(
             scene, cam, key, 1, px, py, max_depth=8, width=w,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
-        jax.block_until_ready(acc)
+        _ = float(acc.sum())
         dt = time.perf_counter() - t0
         rays_i, it_i = int(rays), int(it)
         print(f"spi={spi:3d} mini={ms:2d} w={w}: {dt:6.2f}s  "
