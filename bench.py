@@ -69,7 +69,7 @@ def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
     def step(s):
         return unidirectional_mega.render_sample(
             scene, cam, key, s, px, py, max_depth=max_depth,
-            width=min(width, int(px.shape[0])))
+            width=min(width, int(px.shape[0])), grid_w=cam.width)
 
     dt, rays, _ = _time_samples(step, spp)
     mrays = rays / dt / 1e6
@@ -136,7 +136,8 @@ def run_suite(args, key):
     emit_integrator("unidirectional-mega",
                     lambda s: unidirectional_mega.render_sample(
                         scene, cam_s, key, s, pxs, pys, max_depth=6,
-                        width=min(args.width, int(pxs.shape[0]))))
+                        width=min(args.width, int(pxs.shape[0])),
+                        grid_w=ws))
     if not args.skip_suite_slow:
         bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
         emit_integrator("bdpt", lambda s: bdpt.render_sample(
@@ -144,14 +145,14 @@ def run_suite(args, key):
         from cudapathtracer_tpu.models import bdpt_mega
         emit_integrator("bdpt-mega", lambda s: bdpt_mega.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=bcfg,
-            width=min(args.width, int(pxs.shape[0]))))
+            width=min(args.width, int(pxs.shape[0])), grid_w=ws))
         vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
         emit_integrator("vcm", lambda s: vcm.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=vcfg))
         from cudapathtracer_tpu.models import vcm_mega
         emit_integrator("vcm-mega", lambda s: vcm_mega.render_sample(
             scene, cam_s, key, s, pxs, pys, cfg=vcfg,
-            width=min(args.width, int(pxs.shape[0]))))
+            width=min(args.width, int(pxs.shape[0])), grid_w=ws))
         scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
                              nee=False, naive=False, connection=False,
                              do_mis=False, do_sppm=True)

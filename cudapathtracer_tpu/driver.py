@@ -142,7 +142,8 @@ class Renderer:
                     return unidirectional_mega.render_sample(
                         self.scene, self.camera, self.key, sample_idx,
                         self.px, self.py, max_depth=max(cfg.max_depth, 1),
-                        sample_environment=cfg.sample_environment)
+                        sample_environment=cfg.sample_environment,
+                        grid_w=cfg.width)
                 return step
             def step(sample_idx):
                 return uni_mod.render_sample(
@@ -158,7 +159,8 @@ class Renderer:
                     return bdpt_mega.render_sample(
                         self.scene, self.camera, self.key, sample_idx,
                         self.px, self.py,
-                        cfg=bdpt_mod.BDPTConfig.from_config(cfg))
+                        cfg=bdpt_mod.BDPTConfig.from_config(cfg),
+                        grid_w=cfg.width)
                 return step
             def step(sample_idx):
                 return bdpt_mod.render_sample(
@@ -173,7 +175,8 @@ class Renderer:
                     return vcm_mega.render_sample(
                         self.scene, self.camera, self.key, sample_idx,
                         self.px, self.py,
-                        cfg=vcm_mod.VCMConfig.from_config(cfg))
+                        cfg=vcm_mod.VCMConfig.from_config(cfg),
+                        grid_w=cfg.width)
                 return step
             def step(sample_idx):
                 return vcm_mod.render_sample(

@@ -47,12 +47,14 @@ def _as_machine_cfg(cfg: BDPTConfig) -> VCMConfig:
 
 @partial(jax.jit, static_argnames=("cfg", "width", "chunk_pixels",
                                    "steps_per_iter", "mini_splits",
-                                   "debug_counters"))
+                                   "debug_counters", "grid_w"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   cfg: BDPTConfig, width: int = 0, chunk_pixels: int = 0,
                   steps_per_iter: int = 0, mini_splits: int = 0,
-                  debug_counters: bool = False):
-    """One progressive BDPT sample -> (radiance [P,3], rays)."""
+                  debug_counters: bool = False, grid_w: int = 0):
+    """One progressive BDPT sample -> (radiance [P,3], rays).
+
+    grid_w: raveled row-major grid fast path — see vcm_mega."""
     from cudapathtracer_tpu.models import vcm_mega as vm
 
     steps_per_iter = steps_per_iter or vm.STEPS_PER_ITER
@@ -85,8 +87,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     def chunk_body(carry, ci):
         fb_full, rays_tot, its, fires = carry
-        pxc = jax.lax.dynamic_slice_in_dim(pxi, ci * c_pix, c_pix)
-        pyc = jax.lax.dynamic_slice_in_dim(pyi, ci * c_pix, c_pix)
+        if grid_w:
+            # pad slots clamp to the last pixel — see vcm_mega.chunk_body
+            gidx = jnp.minimum(
+                ci * c_pix + jnp.arange(c_pix, dtype=jnp.int32),
+                p_total - 1)
+            pxc, pyc = gidx % grid_w, gidx // grid_w
+        else:
+            pxc = jax.lax.dynamic_slice_in_dim(pxi, ci * c_pix, c_pix)
+            pyc = jax.lax.dynamic_slice_in_dim(pyi, ci * c_pix, c_pix)
         pid_g = rng.pixel_ids(pxc, pyc)
         cnt = jnp.minimum(p_total - ci * c_pix, c_pix)
         lane_ok = jnp.arange(c_pix, dtype=jnp.int32) < cnt
@@ -111,9 +120,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             eta_vcm=0.0, mr=0.0, merge_norm=0.0, grid=None,
             conn_table=conn_table, lpath_len=lpath_len,
             steps_per_iter=steps_per_iter, mini_splits=mini_splits,
-            flavor="bdpt")
+            flavor="bdpt", grid_w=grid_w)
 
-        init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc)
+        init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
+                             gbase=ci * c_pix, grid_w=grid_w)
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)

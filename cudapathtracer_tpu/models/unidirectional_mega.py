@@ -129,16 +129,25 @@ class _MState(NamedTuple):
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
                                    "sample_environment", "steps_per_iter",
                                    "mini_splits", "chunk_pixels",
-                                   "debug_counters"))
+                                   "debug_counters", "grid_w"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
                   steps_per_iter: int = 0, mini_splits: int = 0,
                   chunk_pixels: int = 0,
-                  debug_counters: bool = False):
+                  debug_counters: bool = False, grid_w: int = 0):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
     width: lane count W of the persistent wavefront (0 = P, capped).
+
+    grid_w: declare that px/py form a raveled row-major grid of this
+    width (px[i] = i % grid_w, py[i] = i // grid_w — what the driver and
+    bench always pass). The refill path then derives pixel coordinates
+    and queue ids ARITHMETICALLY from the pixel id instead of gathering
+    the [P]-sized px/py/qidx tables per transition — per-transition
+    random gathers on frame-sized tables are a dominant transition cost
+    on v5e (the no_raygen ablation: ~230 us/iteration for two of them).
+    Bit-identical to grid_w=0 (same floats, same RNG ids).
 
     chunk_pixels: pixel-queue chunk size (0 = auto). The persistent while
     loop runs once per chunk with a CHUNK-LOCAL accumulator; chunk images
@@ -168,18 +177,33 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     k_slots = int(gens * KSLOTS_FACTOR) + 8
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
-    pxf = px.astype(jnp.float32)
-    pyf = py.astype(jnp.float32)
-    pad = n_chunks * c_pix - p_total
-    if pad:
-        pxf = jnp.concatenate([pxf, jnp.broadcast_to(pxf[-1:], (pad,))])
-        pyf = jnp.concatenate([pyf, jnp.broadcast_to(pyf[-1:], (pad,))])
+    if grid_w:
+        pxf = pyf = None
+    else:
+        pxf = px.astype(jnp.float32)
+        pyf = py.astype(jnp.float32)
+        pad = n_chunks * c_pix - p_total
+        if pad:
+            pxf = jnp.concatenate([pxf,
+                                   jnp.broadcast_to(pxf[-1:], (pad,))])
+            pyf = jnp.concatenate([pyf,
+                                   jnp.broadcast_to(pyf[-1:], (pad,))])
     fstep = make_fused_step(scene).lane_major
     mats = scene.materials
     do_nee_stage = use_mis and scene.num_lights > 0
+    lobes = getattr(scene, "mat_type_mask", lm.ALL_LOBES)
 
     def ids2(pid, lit):
         return pid * _ID_STRIDE + lit
+
+    def pix_coords(pxc, pyc, gbase, pids):
+        """Chunk-local pixel ids -> float pixel coordinates: arithmetic in
+        grid mode, [P]-table gathers otherwise."""
+        if grid_w:
+            gp = gbase + pids
+            return ((gp % grid_w).astype(jnp.float32),
+                    (gp // grid_w).astype(jnp.float32))
+        return pxc[pids], pyc[pids]
 
     # The machine below is width-agnostic (every shape derives from the
     # state), so the same functions serve the full-width stage AND the
@@ -279,9 +303,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             do_nee = shade & ~emissive & ~is_specular
             ns = lm.nee_sampleT(
                 scene, skey, _D_NEE, info["point"], normal, wi_local, mat,
-                albedo, eta_i, do_nee, ids=did, transmission=trans)
+                albedo, eta_i, do_nee, ids=did, transmission=trans,
+                lobe_mask=lobes)
             bsdf_pdf_nee = lm.bsdf_pdfT(mat, -wi_local, ns.wo_local,
-                                        eta_i, transmission=trans)
+                                        eta_i, transmission=trans,
+                                        lobe_mask=lobes)
             w_nee = lm.power2_weight(ns.light_pdf, bsdf_pdf_nee)
             pending = jnp.where(ns.active[None, :],
                                 beta * ns.contrib * w_nee[None, :], pending)
@@ -291,7 +317,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # BSDF sampling (deviceCode.cu:476-479)
         wo_local, f_val, pdf = lm.bsdf_sampleT(
             skey, _D_BSDF, mat, albedo, -wi_local, backface, eta_i, ids=did,
-            transmission=trans)
+            transmission=trans, lobe_mask=lobes)
         pdf = jnp.maximum(pdf, 0.01)  # deviceCode.cu:481
 
         refracted = wo_local[2] < 0.0
@@ -358,11 +384,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         new_q = s.next_px + rank - 1
         got = want & (new_q < cnt)
         next_px = s.next_px + jnp.sum(got.astype(jnp.int32))
-        new_pid = qidx[jnp.where(got, new_q, 0)]
+        if qidx is None:  # identity queue (main stage): no table gather
+            new_pid = jnp.where(got, new_q, 0)
+        else:
+            new_pid = qidx[jnp.where(got, new_q, 0)]
         pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
+        gpx, gpy = pix_coords(pxc, pyc, gbase, gp)
         go, gd = lm.generate_raysT(
-            camera, cam_key, pxc[gp], pyc[gp],
+            camera, cam_key, gpx, gpy,
             ids=ids2(gbase + jnp.where(got, new_pid, 0),
                      jnp.zeros_like(new_pid)))
         # fresh path registers for refilled lanes
@@ -483,10 +513,14 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                               axis=0)
         lane = jnp.arange(mw, dtype=jnp.int32)
         live = lane < cnt
-        pid0 = jnp.where(live, qidx[jnp.minimum(lane, qidx.shape[0] - 1)],
-                         -1)
+        if qidx is None:
+            pid0 = jnp.where(live, lane, -1)
+        else:
+            pid0 = jnp.where(live,
+                             qidx[jnp.minimum(lane, qidx.shape[0] - 1)], -1)
         gp = jnp.maximum(pid0, 0)
-        go, gd = lm.generate_raysT(camera, cam_key, pxc[gp], pyc[gp],
+        gpx, gpy = pix_coords(pxc, pyc, gbase, gp)
+        go, gd = lm.generate_raysT(camera, cam_key, gpx, gpy,
                                    ids=ids2(gbase + gp,
                                             jnp.zeros_like(lane)))
         return _MState(
@@ -536,11 +570,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     def run_chunk(pxc, pyc, gbase):
         cnt = jnp.minimum(p_total - gbase, c_pix)
-        qidx = jnp.arange(c_pix, dtype=jnp.int32)
+        # main stage queue is the identity map — no qidx table
         out = jax.lax.while_loop(
             make_cond(cnt, tail_w if two_stage else 0),
-            make_body(pxc, pyc, gbase, cnt, qidx),
-            make_init(pxc, pyc, gbase, cnt, qidx, w))
+            make_body(pxc, pyc, gbase, cnt, None),
+            make_init(pxc, pyc, gbase, cnt, None, w))
         img = _slots_to_image(out)
         rays, it, fires, busy = out.rays, out.it, out.fires, out.busy
         if two_stage:
@@ -561,8 +595,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         return img, rays, it, fires, busy
 
     def chunk_body(_, ci):
-        pxc = jax.lax.dynamic_slice_in_dim(pxf, ci * c_pix, c_pix)
-        pyc = jax.lax.dynamic_slice_in_dim(pyf, ci * c_pix, c_pix)
+        if grid_w:
+            pxc = pyc = None
+        else:
+            pxc = jax.lax.dynamic_slice_in_dim(pxf, ci * c_pix, c_pix)
+            pyc = jax.lax.dynamic_slice_in_dim(pyf, ci * c_pix, c_pix)
         return 0, run_chunk(pxc, pyc, ci * c_pix)
 
     if n_chunks == 1:

@@ -216,20 +216,25 @@ class _VState(NamedTuple):
     #                       after the loop resolves slots to pixels
 
 
-def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc) -> "_VState":
+def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
+                  gbase=0, grid_w: int = 0) -> "_VState":
     """Launch state: lane l starts on queue pixel l (lanes beyond the
     chunk's true count start idle). Shared by the VCM and BDPT flavors of
-    the machine."""
-    pxcf = pxc.astype(jnp.float32)
-    pycf = pyc.astype(jnp.float32)
+    the machine. grid_w: derive pixel coords arithmetically (see
+    unidirectional_mega.render_sample)."""
     z3 = jnp.zeros((3, w), jnp.float32)
     dx0 = jnp.concatenate([jnp.ones((1, w)), jnp.zeros((2, w))], axis=0)
     zw = jnp.zeros((w,), jnp.float32)
     lane = jnp.arange(w, dtype=jnp.int32)
     lane_live = lane < cnt
-    gpix0 = rng.pixel_ids(pxc[lane], pyc[lane])
-    go0, gd0 = lm.generate_raysT(camera, cam_key, pxcf[lane], pycf[lane],
-                                 ids=gpix0)
+    if grid_w:
+        gidx = gbase + lane
+        pxl, pyl = gidx % grid_w, gidx // grid_w
+    else:
+        pxl, pyl = pxc[lane], pyc[lane]
+    gpix0 = rng.pixel_ids(pxl, pyl)
+    go0, gd0 = lm.generate_raysT(camera, cam_key, pxl.astype(jnp.float32),
+                                 pyl.astype(jnp.float32), ids=gpix0)
     aspect = camera.width / camera.height
     plane_area = 4.0 * aspect * camera.fov_scale * camera.fov_scale
     cos_cam0 = jnp.abs(lm.dotT(jnp.broadcast_to(
@@ -267,7 +272,7 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc) -> "_VState":
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     gens, k_slots, cnt, eta_vcm, mr, merge_norm, grid,
                     conn_table, lpath_len, steps_per_iter, mini_splits,
-                    flavor: str = "vcm"):
+                    flavor: str = "vcm", grid_w: int = 0):
     """Build (cond, make_body) for one chunk's persistent eye machine.
     Lane l statically owns pixels g*w + l (see _VState.acc).
 
@@ -294,6 +299,12 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     do_conn = do_conn and l_depth > 0
     plane_area = (4.0 * (camera.width / camera.height)
                   * camera.fov_scale * camera.fov_scale)
+    # skip BSDF lobes no triangle references (bit-exact; see lanemajor)
+    _lobes = getattr(scene, "mat_type_mask", lm.ALL_LOBES)
+    bsdf_fT = partial(lm.bsdf_fT, lobe_mask=_lobes)
+    bsdf_pdfT = partial(lm.bsdf_pdfT, lobe_mask=_lobes)
+    bsdf_sampleT = partial(lm.bsdf_sampleT, lobe_mask=_lobes)
+    nee_sampleT = partial(lm.nee_sampleT, lobe_mask=_lobes)
 
     def ids3(gpid, depth):
         return gpid * _ID_STRIDE + depth
@@ -332,15 +343,15 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         l2e_loc_e = lm.to_localT(-e2l_u, normal)
         to_prev_loc_e = lm.to_localT(to_prev, normal)
 
-        pdf_eye_rev_sa = lm.bsdf_pdfT(mat_l, -to_l_from_prev_loc, l2e_loc_l,
+        pdf_eye_rev_sa = bsdf_pdfT(mat_l, -to_l_from_prev_loc, l2e_loc_l,
                                       ones, transmission=trans_l)
         pdf_eye_rev_area = pdf_eye_rev_sa * cos_e / d2
-        pdf_bef_eye_rev_sa = lm.bsdf_pdfT(mat_e, -l2e_loc_e, to_prev_loc_e,
+        pdf_bef_eye_rev_sa = bsdf_pdfT(mat_e, -l2e_loc_e, to_prev_loc_e,
                                           ones, transmission=trans_e)
-        pdf_light_rev_sa = lm.bsdf_pdfT(mat_e, to_prev_loc_e, -l2e_loc_e,
+        pdf_light_rev_sa = bsdf_pdfT(mat_e, to_prev_loc_e, -l2e_loc_e,
                                         ones, transmission=trans_e)
         pdf_light_rev_area = pdf_light_rev_sa * cos_l / d2
-        pdf_bef_light_rev_sa = lm.bsdf_pdfT(mat_l, l2e_loc_l,
+        pdf_bef_light_rev_sa = bsdf_pdfT(mat_l, l2e_loc_l,
                                             -to_l_from_prev_loc, ones,
                                             transmission=trans_l)
 
@@ -350,9 +361,9 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                                         + pdf_bef_light_rev_sa * l_dvc)
         weight = 1.0 / (1.0 + w_eye + w_light)
 
-        f_eye = lm.bsdf_fT(mat_e, albedo_e, -l2e_loc_e, to_prev_loc_e,
+        f_eye = bsdf_fT(mat_e, albedo_e, -l2e_loc_e, to_prev_loc_e,
                            ones, transmission=trans_e)
-        f_light = lm.bsdf_fT(mat_l, albedo_l, l2e_loc_l,
+        f_light = bsdf_fT(mat_l, albedo_l, l2e_loc_l,
                              -to_l_from_prev_loc, ones, transmission=trans_l)
         gg = jnp.minimum(cos_e * cos_l / d2, MAX_G_CONNECT)
         contrib = thr * lbeta * f_eye * f_light * gg[None, :]
@@ -405,12 +416,12 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
         stl_local = lm.to_localT(stl_u, normal)
         to_prev_loc = lm.to_localT(to_prev, normal)
-        f_val = lm.bsdf_fT(mat_e, albedo_e, to_prev_loc, stl_local, ones,
+        f_val = bsdf_fT(mat_e, albedo_e, to_prev_loc, stl_local, ones,
                            transmission=trans_e)
         le = scene.light_emission[li_idx].T
         contrib = f_val * le * (g / pdf_connect)[None, :]
 
-        pdf_bsdf_sa = lm.bsdf_pdfT(mat_e, to_prev_loc, stl_local, ones,
+        pdf_bsdf_sa = bsdf_pdfT(mat_e, to_prev_loc, stl_local, ones,
                                    transmission=trans_e)
         pdf_bsdf_area = pdf_bsdf_sa * jnp.abs(cos_light) / d2
         ratio = pdf_bsdf_area / jnp.maximum(pdf_connect, 1e-20)
@@ -419,7 +430,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         else:
             w_light = ratio * ratio    # VCM quirk: squared (2533)
         pdf_curr_rev_area = pdf_emit_sa * jnp.abs(stl_local[2]) / d2
-        pdf_prev_rev_sa = lm.bsdf_pdfT(mat_e, stl_local, to_prev_loc, ones,
+        pdf_prev_rev_sa = bsdf_pdfT(mat_e, stl_local, to_prev_loc, ones,
                                        transmission=trans_e)
         w_eye = pdf_curr_rev_area * (eta_vcm + s.d_vcm
                                      + pdf_prev_rev_sa * s.d_vc)
@@ -503,10 +514,10 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             pdf_fwd_area = prev_pdf_sa * jnp.abs(wo_local[2]) / d2p
             g = prev_cos / d2p
 
-            wi_local, f_val, pdf_sa = lm.bsdf_sampleT(
+            wi_local, f_val, pdf_sa = bsdf_sampleT(
                 skey_e, _D_BSDF, mat, albedo, -wo_local, info["backface"],
                 ones, 0, ids=did, transmission=trans)
-            pdf_rev_sa = lm.bsdf_pdfT(mat, wi_local, -wo_local, ones,
+            pdf_rev_sa = bsdf_pdfT(mat, wi_local, -wo_local, ones,
                                       transmission=trans)
             valid = reached & (pdf_sa >= EPSILON)
 
@@ -575,11 +586,11 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                         hashgrid.photon_fields(row)
                     photon_wi = p_wi.T
                     wi_loc = lm.to_localT(photon_wi, normal)
-                    f_m = lm.bsdf_fT(mat, albedo, wi_loc, eye_prev_loc,
+                    f_m = bsdf_fT(mat, albedo, wi_loc, eye_prev_loc,
                                      ones, transmission=trans)
-                    pdf_eye_rev = lm.bsdf_pdfT(mat, wi_loc, eye_prev_loc,
+                    pdf_eye_rev = bsdf_pdfT(mat, wi_loc, eye_prev_loc,
                                                ones, transmission=trans)
-                    pdf_light_rev = lm.bsdf_pdfT(mat, eye_prev_loc, wi_loc,
+                    pdf_light_rev = bsdf_pdfT(mat, eye_prev_loc, wi_loc,
                                                  ones, transmission=trans)
                     w_eye = n_dvcm / jnp.maximum(eta_vcm, 1e-30) \
                         + pdf_eye_rev * n_dvm
@@ -676,9 +687,16 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         next_px = s.next_px + jnp.sum(got.astype(jnp.int32))
         pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
-        gpixid = rng.pixel_ids(pxc[gp].astype(jnp.int32),
-                               pyc[gp].astype(jnp.int32))
-        go_o, go_d = lm.generate_raysT(camera, cam_key, pxc[gp], pyc[gp],
+        if grid_w:  # arithmetic pixel coords — no frame-table gathers
+            gidx = gbase + gp
+            gpx_i, gpy_i = gidx % grid_w, gidx // grid_w
+        else:
+            gpx_i = pxc[gp].astype(jnp.int32)
+            gpy_i = pyc[gp].astype(jnp.int32)
+        gpixid = rng.pixel_ids(gpx_i, gpy_i)
+        go_o, go_d = lm.generate_raysT(camera, cam_key,
+                                       gpx_i.astype(jnp.float32),
+                                       gpy_i.astype(jnp.float32),
                                        ids=gpixid)
         # fresh eye-endpoint registers (paths.start_eye_walk semantics)
         cos_cam = jnp.abs(lm.dotT(jnp.broadcast_to(
@@ -778,15 +796,19 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "chunk_pixels",
                                    "steps_per_iter", "mini_splits",
-                                   "debug_counters"))
+                                   "debug_counters", "grid_w"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   cfg: VCMConfig, width: int = 0, chunk_pixels: int = 0,
                   steps_per_iter: int = 0, mini_splits: int = 0,
-                  debug_counters: bool = False):
+                  debug_counters: bool = False, grid_w: int = 0):
     """One progressive VCM/SPPM sample -> (radiance [P,3], rays).
 
     Persistent-eye-pass counterpart of models/vcm.render_sample (which
-    remains the oracle implementation and the tile-sharded path)."""
+    remains the oracle implementation and the tile-sharded path).
+
+    grid_w: px/py form a raveled row-major grid of this width; the eye
+    machine then derives pixel coords arithmetically instead of per-
+    transition frame-table gathers (see unidirectional_mega)."""
     steps_per_iter = steps_per_iter or STEPS_PER_ITER
     mini_splits = mini_splits or MINI_SPLITS
     p_total = px.shape[0]
@@ -822,8 +844,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     def chunk_body(carry, ci):
         fb_full, rays_tot, its, fires = carry
-        pxc = jax.lax.dynamic_slice_in_dim(pxi, ci * c_pix, c_pix)
-        pyc = jax.lax.dynamic_slice_in_dim(pyi, ci * c_pix, c_pix)
+        if grid_w:
+            # once-per-chunk arrays (light-path pairing ids); the eye
+            # machine itself never gathers them — coords are arithmetic.
+            # Clamp pad slots to the LAST pixel: identical RNG ids (and
+            # identical pad light-walk ray counts) to the repeated-pixel
+            # padding of the gather path — keeps grid_w bit-exact.
+            gidx = jnp.minimum(
+                ci * c_pix + jnp.arange(c_pix, dtype=jnp.int32),
+                p_total - 1)
+            pxc, pyc = gidx % grid_w, gidx // grid_w
+        else:
+            pxc = jax.lax.dynamic_slice_in_dim(pxi, ci * c_pix, c_pix)
+            pyc = jax.lax.dynamic_slice_in_dim(pyi, ci * c_pix, c_pix)
         pid_g = rng.pixel_ids(pxc, pyc)
         # true (unpadded) path/pixel count of this chunk
         cnt = jnp.minimum(p_total - ci * c_pix, c_pix)
@@ -869,9 +902,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         cond, make_body = _mk_eye_machine(
             scene, camera, cfg, key_e, cam_key, w, gens, k_slots, cnt,
             eta_vcm, mr, merge_norm, grid, conn_table, lpath_len,
-            steps_per_iter, mini_splits)
+            steps_per_iter, mini_splits, grid_w=grid_w)
 
-        init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc)
+        init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
+                             gbase=ci * c_pix, grid_w=grid_w)
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)

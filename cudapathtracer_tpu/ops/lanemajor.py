@@ -379,34 +379,51 @@ def leaf_sampleT(u_sel, u_t, u1, u2, wi, ior, curr_ior, roughness, albedo,
 # ---------------------------------------------------------------------------
 
 
-def bsdf_fT(mat: MatT, albedo, wi, wo, eta_i, transmission=None):
+# bitmask of material types a scene actually references (Scene.
+# mat_type_mask): compute-all-and-select only pays for the lobes present.
+# Skipping an absent lobe is bit-exact — no lane selects it.
+ALL_LOBES = (1 << MAT_DIFFUSE) | (1 << MAT_METAL) \
+    | (1 << MAT_SMOOTHDIELECTRIC) | (1 << MAT_LEAF) | (1 << MAT_DELTAMIRROR)
+
+
+def bsdf_fT(mat: MatT, albedo, wi, wo, eta_i, transmission=None,
+            lobe_mask: int = ALL_LOBES):
     t = mat.type
     trans = mat.transmission if transmission is None else transmission
     f = jnp.where((t == MAT_DIFFUSE)[None, :], cosine_fT(albedo), 0.0)
-    f = jnp.where((t == MAT_METAL)[None, :],
-                  metal_fT(mat.eta, mat.k, mat.roughness, wi, wo), f)
-    f = jnp.where((t == MAT_LEAF)[None, :],
-                  leaf_fT(albedo, mat.ior, eta_i, mat.roughness,
-                          trans, wi, wo), f)
-    f = jnp.where((t == MAT_DELTAMIRROR)[None, :], mirror_fT(wo)[None, :], f)
+    if lobe_mask & (1 << MAT_METAL):
+        f = jnp.where((t == MAT_METAL)[None, :],
+                      metal_fT(mat.eta, mat.k, mat.roughness, wi, wo), f)
+    if lobe_mask & (1 << MAT_LEAF):
+        f = jnp.where((t == MAT_LEAF)[None, :],
+                      leaf_fT(albedo, mat.ior, eta_i, mat.roughness,
+                              trans, wi, wo), f)
+    if lobe_mask & (1 << MAT_DELTAMIRROR):
+        f = jnp.where((t == MAT_DELTAMIRROR)[None, :],
+                      mirror_fT(wo)[None, :], f)
     return f
 
 
-def bsdf_pdfT(mat: MatT, wi, wo, eta_i, transmission=None):
+def bsdf_pdfT(mat: MatT, wi, wo, eta_i, transmission=None,
+              lobe_mask: int = ALL_LOBES):
     t = mat.type
     trans = mat.transmission if transmission is None else transmission
     pdf = jnp.where(t == MAT_DIFFUSE, cosine_pdfT(wo), 0.0)
-    pdf = jnp.where(t == MAT_METAL, metal_pdfT(mat.roughness, wi, wo), pdf)
-    pdf = jnp.where(t == MAT_LEAF,
-                    leaf_pdfT(mat.ior, eta_i, mat.roughness, trans,
-                              wi, wo), pdf)
-    pdf = jnp.where(t == MAT_DELTAMIRROR, 1.0, pdf)
+    if lobe_mask & (1 << MAT_METAL):
+        pdf = jnp.where(t == MAT_METAL, metal_pdfT(mat.roughness, wi, wo),
+                        pdf)
+    if lobe_mask & (1 << MAT_LEAF):
+        pdf = jnp.where(t == MAT_LEAF,
+                        leaf_pdfT(mat.ior, eta_i, mat.roughness, trans,
+                                  wi, wo), pdf)
+    if lobe_mask & (1 << MAT_DELTAMIRROR):
+        pdf = jnp.where(t == MAT_DELTAMIRROR, 1.0, pdf)
     return pdf
 
 
 def bsdf_sampleT(key, draw_base, mat: MatT, albedo, wi, backface, eta_i,
                  transport_mode=TRANSPORT_RADIANCE, transmission=None,
-                 ids=None):
+                 ids=None, lobe_mask: int = ALL_LOBES):
     """ops/bsdf.bsdf_sample, lane-major: (wo [3,N], f [3,N], pdf [N])."""
     n = wi.shape[1]
     u_sel = rng.uniform_any(key, draw_base + 0, n, ids)
@@ -420,37 +437,44 @@ def bsdf_sampleT(key, draw_base, mat: MatT, albedo, wi, backface, eta_i,
     f_d = cosine_fT(albedo)
     pdf_d = cosine_pdfT(wo_d)
 
-    h = ggx_sample_hT(u1, u2, mat.roughness * mat.roughness)
-    wo_m = 2.0 * dotT(wi, h)[None, :] * h - wi
-    wo_m = jnp.where((wo_m[2] <= 0.0)[None, :],
-                     wo_m * jnp.asarray([1.0, 1.0, -1.0])[:, None], wo_m)
-    f_m = metal_fT(mat.eta, mat.k, mat.roughness, wi, wo_m)
-    pdf_m = metal_pdfT(mat.roughness, wi, wo_m)
-
-    wo_g, f_g, pdf_g = dielectric_sampleT(u_sel, wi, mat.ior, backface,
-                                          transport_mode)
-
-    wo_l, f_l, pdf_l = leaf_sampleT(u_sel, u_t, u1, u2, wi, mat.ior, eta_i,
-                                    mat.roughness, albedo, trans)
-
-    wo_mi = jnp.stack([-wi[0], -wi[1], wi[2]], axis=0)
-    f_mi = mirror_fT(wo_mi)
-
     def sel(cond, a, b):
         return jnp.where(cond[None, :] if a.ndim == 2 else cond, a, b)
 
     wo, f, pdf = wo_d, f_d, pdf_d
-    for tt, wo_c, f_c, pdf_c in (
-            (MAT_METAL, wo_m, f_m, pdf_m),
-            (MAT_SMOOTHDIELECTRIC, wo_g,
-             f_g[None, :] * jnp.ones((3, 1)), pdf_g),
-            (MAT_LEAF, wo_l, f_l, pdf_l),
-            (MAT_DELTAMIRROR, wo_mi,
-             f_mi[None, :] * jnp.ones((3, 1)), jnp.ones((n,)))):
-        m = t == tt
-        wo = sel(m, wo_c, wo)
-        f = sel(m, f_c, f)
-        pdf = jnp.where(m, pdf_c, pdf)
+
+    if lobe_mask & (1 << MAT_METAL):
+        h = ggx_sample_hT(u1, u2, mat.roughness * mat.roughness)
+        wo_m = 2.0 * dotT(wi, h)[None, :] * h - wi
+        wo_m = jnp.where((wo_m[2] <= 0.0)[None, :],
+                         wo_m * jnp.asarray([1.0, 1.0, -1.0])[:, None], wo_m)
+        f_m = metal_fT(mat.eta, mat.k, mat.roughness, wi, wo_m)
+        pdf_m = metal_pdfT(mat.roughness, wi, wo_m)
+        m = t == MAT_METAL
+        wo, f, pdf = sel(m, wo_m, wo), sel(m, f_m, f), jnp.where(m, pdf_m,
+                                                                 pdf)
+
+    if lobe_mask & (1 << MAT_SMOOTHDIELECTRIC):
+        wo_g, f_g, pdf_g = dielectric_sampleT(u_sel, wi, mat.ior, backface,
+                                              transport_mode)
+        m = t == MAT_SMOOTHDIELECTRIC
+        wo = sel(m, wo_g, wo)
+        f = sel(m, f_g[None, :] * jnp.ones((3, 1)), f)
+        pdf = jnp.where(m, pdf_g, pdf)
+
+    if lobe_mask & (1 << MAT_LEAF):
+        wo_l, f_l, pdf_l = leaf_sampleT(u_sel, u_t, u1, u2, wi, mat.ior,
+                                        eta_i, mat.roughness, albedo, trans)
+        m = t == MAT_LEAF
+        wo, f, pdf = sel(m, wo_l, wo), sel(m, f_l, f), jnp.where(m, pdf_l,
+                                                                 pdf)
+
+    if lobe_mask & (1 << MAT_DELTAMIRROR):
+        wo_mi = jnp.stack([-wi[0], -wi[1], wi[2]], axis=0)
+        f_mi = mirror_fT(wo_mi)
+        m = t == MAT_DELTAMIRROR
+        wo = sel(m, wo_mi, wo)
+        f = sel(m, f_mi[None, :] * jnp.ones((3, 1)), f)
+        pdf = jnp.where(m, jnp.ones((n,)), pdf)
 
     return wo, f, pdf
 
@@ -523,7 +547,7 @@ def sample_light_pointT(scene, key, draw_base, n, ids=None):
 
 def nee_sampleT(scene, key, draw_base, point, normal, wi_local, mat: MatT,
                 albedo, eta_i, active, ids=None,
-                transmission=None) -> NEESampleT:
+                transmission=None, lobe_mask: int = ALL_LOBES) -> NEESampleT:
     """models/common.nee_sample (deviceCode.cu:87-156 minus the shadow
     trace), lane-major."""
     from cudapathtracer_tpu.models.common import _safe
@@ -551,7 +575,7 @@ def nee_sampleT(scene, key, draw_base, point, normal, wi_local, mat: MatT,
     wo_local = jnp.stack([dotT(wi, t), dotT(wi, b), dotT(wi, normal)],
                          axis=0)
     f_val = bsdf_fT(mat, albedo, -wi_local, wo_local, eta_i,
-                    transmission=transmission)
+                    transmission=transmission, lobe_mask=lobe_mask)
 
     contrib = f_val * le * (cos_surf / _safe(light_pdf))[None, :]
     gate = (light_pdf > EPSILON) & active

@@ -97,6 +97,10 @@ class Scene:
     has_trans_maps: bool = field(metadata=dict(static=True), default=False)
     traversal: str = field(metadata=dict(static=True), default="bvh8")
     bvh8_leaf_tris: int = field(metadata=dict(static=True), default=4)
+    # bitmask (1 << material type) of the types any triangle references:
+    # compute-all-and-select BSDF dispatch skips absent lobes at trace
+    # time (bit-exact — no lane ever selects a missing lobe)
+    mat_type_mask: int = field(metadata=dict(static=True), default=0x7f)
 
     @property
     def num_triangles(self) -> int:
@@ -259,6 +263,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
             (np.asarray(table.trans_tex_start)[tri_mat] >= 0).any()),
         traversal=traversal,
         bvh8_leaf_tris=bvh8.leaf_tris,
+        mat_type_mask=int(np.bitwise_or.reduce(
+            np.int64(1) << np.unique(mat_types[tri_mat]).astype(np.int64))),
     )
     return jax.device_put(scene), bvh
 

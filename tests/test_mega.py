@@ -104,3 +104,41 @@ def test_mega_no_mis_mode():
                                               steps_per_iter=2)
     a = np.asarray(li)
     assert np.isfinite(a).all() and (a >= 0).all() and a.mean() > 0.01
+
+
+def test_mega_grid_w_bit_identical():
+    """grid_w (arithmetic pixel coords + identity queue, no frame-table
+    gathers in the transition) must be BIT-identical to the gather path —
+    same floats, same RNG ids. Frame chosen so width does not divide the
+    pixel count (exercises queue-pad clamping)."""
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    w, h = 12, 7
+    cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    a, ra = unidirectional_mega.render_sample(scene, cam, key, 0, px, py,
+                                              max_depth=5, width=32)
+    b, rb = unidirectional_mega.render_sample(scene, cam, key, 0, px, py,
+                                              max_depth=5, width=32,
+                                              grid_w=w)
+    assert int(ra) == int(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bdpt_mega_grid_w_bit_identical():
+    from cudapathtracer_tpu.models import bdpt, bdpt_mega
+
+    scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+    w, h = 12, 7
+    cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    cfg = bdpt.BDPTConfig(eye_depth=3, light_depth=2)
+    a, ra = bdpt_mega.render_sample(scene, cam, key, 0, px, py, cfg=cfg,
+                                    width=32)
+    b, rb = bdpt_mega.render_sample(scene, cam, key, 0, px, py, cfg=cfg,
+                                    width=32, grid_w=w)
+    assert int(ra) == int(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -44,10 +44,13 @@ def main():
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         _ = float(acc.sum())
         dt = time.perf_counter() - t0
-        rays_i, it_i = int(rays), int(it)
+        rays_i, it_i, busy_i = int(rays), int(it), int(busy)
+        steps = it_i * max(1, spi // max(1, min(ms, spi))) * max(
+            1, min(ms, spi))
         print(f"spi={spi:3d} mini={ms:2d} w={w}: {dt:6.2f}s  "
               f"{rays_i/dt/1e6:5.2f} Mrays/s  iters={it_i}  "
-              f"lane-steps/ray={it_i*spi*w/max(rays_i,1):6.1f}  "
+              f"lane-steps/ray={steps*w/max(rays_i,1):6.1f}  "
+              f"busy={busy_i/max(steps*w,1):5.1%}  "
               f"us/iter={dt/it_i*1e6:8.0f}  (compile {comp:.0f}s)",
               flush=True)
 
