@@ -33,14 +33,14 @@ def main():
     for spi, ms, w in cfgs:
         t0 = time.perf_counter()
         acc, rays, it, fires, busy = mega.render_sample(
-            scene, cam, key, 0, px, py, max_depth=8, width=w,
+            scene, cam, key, 0, px, py, max_depth=8, width=w, grid_w=W,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         _ = float(acc.sum())  # true readback barrier — block_until_ready
         # on a remote axon array has returned early (bogus ~0 s timings)
         comp = time.perf_counter() - t0
         t0 = time.perf_counter()
         acc, rays, it, fires, busy = mega.render_sample(
-            scene, cam, key, 1, px, py, max_depth=8, width=w,
+            scene, cam, key, 1, px, py, max_depth=8, width=w, grid_w=W,
             steps_per_iter=spi, mini_splits=ms, debug_counters=True)
         _ = float(acc.sum())
         dt = time.perf_counter() - t0
