@@ -134,3 +134,26 @@ def test_tile_sharded_vcm_splat_finite(setup):
     assert done == 2 and rays > 0
     assert np.isfinite(acc).all()
     assert acc.mean() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_mega_engine(setup):
+    """The persistent mega-wavefront engine (the production headline path)
+    runs under the tile x spp mesh: each shard drives its own lane machine
+    over its pixel block. Its RNG ids are local to the pixel slice, so the
+    sharded image is a different (equally valid) noise realization than
+    single-chip — assert finiteness + brightness agreement, not equality."""
+    from cudapathtracer_tpu.models import unidirectional_mega
+
+    scene, cam = setup
+    mesh = sharding.make_mesh(n_tile=4, n_spp=2)
+    acc, done, rays = sharding.render_sharded(
+        unidirectional_mega.render_sample, mesh, scene, cam, 16, 16, 2,
+        max_depth=4)
+    assert done == 2 and rays > 0
+    assert np.isfinite(acc).all()
+    acc1, _, _ = sharding.render_sharded(
+        unidirectional.render_sample, mesh, scene, cam, 16, 16, 2,
+        max_depth=4)
+    # same estimator, different stream: means agree within MC noise
+    assert abs(acc.mean() - acc1.mean()) / max(acc1.mean(), 1e-6) < 0.25
