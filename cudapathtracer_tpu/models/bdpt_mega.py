@@ -30,7 +30,7 @@ from cudapathtracer_tpu.models.vcm import VCMConfig
 from cudapathtracer_tpu.models.vcm_mega import (_machine_init,
                                                 _mk_eye_machine,
                                                 _pack_conn_table)
-from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils import packing, rng
 
 STEPS_PER_ITER = 0   # 0 = inherit vcm_mega's env-tunable defaults
 MINI_SPLITS = 0
@@ -129,7 +129,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             pyc.astype(jnp.float32), ci * c_pix), init)
         rays_tot = rays_tot + lrays + rays_s + out.rays
         # resolve retire slots to pixels: ONE scatter per chunk
-        rows = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
         pids = out.ret_pid.reshape(-1)
         chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
             jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")

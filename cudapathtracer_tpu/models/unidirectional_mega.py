@@ -48,7 +48,7 @@ from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.ops.intersect import BIG_T
 from cudapathtracer_tpu.ops.traverse8 import (TravState, make_fused_step,
                                               trav_idle, trav_start)
-from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils import packing, rng
 from cudapathtracer_tpu.utils.math import EPSILON, RAY_EPSILON
 
 HARD_DEPTH_CAP = 100   # deviceCode.cu:318
@@ -67,8 +67,11 @@ _D_RR = 8
 # spi 1/4/8 on the 16x16 golden), so the test suite dials these down via
 # the environment exactly like ops/traverse.py — the image is invariant to
 # the schedule (RNG is keyed by global pixel id + per-lane bounce counter).
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "16"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "16"))
+# Same-hour 1080p sweep (2026-08, packed-u32 retirement): spi=8/mini=8
+# raised busy 64% -> 75% over spi=16/mini=16 (9.4 -> 9.7+ Mrays/s);
+# spi=12 loses (9.07), spi=16/w=25920 ties at busy 59.6%.
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "8"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
 # Default lane count of the persistent machine. Measured on v5e (1080p
 # Cornell+mesh sweep, 2026-08): full-frame lanes (2M) ride the pixel queue
 # with huge idle drain tails — 5.4 Mrays/s; ~52k lanes with the dynamic
@@ -119,11 +122,19 @@ class _MState(NamedTuple):
     nxt_o: jax.Array       # [3,W] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
     ret_pid: jax.Array     # [K,W] i32 pixel of each retired slot; -1 empty
-    acc: jax.Array         # [K,3,W] per-slot retired radiance (lane-major;
-    #                        the lane's k-th retired path lives at
-    #                        [k, :, lane] — retiring is K masked
-    #                        row-writes, NOT a scatter; one big scatter
-    #                        after the loop resolves slots to pixels)
+    acc: jax.Array         # [K,W] u32 per-slot retired radiance, RGB9E5
+    #                        shared-exponent packed (utils/packing.py): the
+    #                        lane's k-th retired path lives at [k, lane] —
+    #                        retiring is a one-hot select over [K,W], NOT a
+    #                        scatter; one big scatter after the loop
+    #                        resolves slots to pixels. Packed because the
+    #                        select sweeps the whole buffer every
+    #                        transition: u32 vs 3xf32 cut the sweep's HBM
+    #                        traffic 2x (measured 102 us/iter at
+    #                        K=168/w=12960/1080p unpacked). RGB9E5's 9-bit
+    #                        mantissa costs <0.2% on a single path's
+    #                        radiance, zero-mean across paths; values clip
+    #                        at 65408 (extreme-firefly cap).
 
 
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
@@ -369,13 +380,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # paths must not serialize them while other lanes idle (a static
         # per-lane pixel assignment measured 330 tail iterations vs the
         # queue's ~130 at 1080p).
-        # one fused one-hot select over [K,3,W] instead of K sequential
+        # one fused one-hot select over [K,W] instead of K sequential
         # masked at[k].set ops (the op-per-slot loop measured +440 us per
-        # iteration at K=88..168: each update re-traverses the buffer)
+        # iteration at K=88..168: each update re-traverses the buffer);
+        # radiance packs to one RGB9E5 word so the sweep reads/writes
+        # 2 [K,W] i32 planes, not [K,3,W]+[K,W] floats
         kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
         mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
-        acc = jnp.where(mg[:, None, :], li[None, :, :], s.acc)
-        ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
+        if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):  # tools/mega_ablate
+            acc, ret_pid = s.acc, s.ret_pid
+        else:
+            li_pk = packing.pack_rgb9e5_cols(li)
+            acc = jnp.where(mg, li_pk[None, :], s.acc)
+            ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
         ret_count = s.ret_count + dead.astype(jnp.int32)
         pid = jnp.where(dead, -1, pid)
 
@@ -548,10 +565,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             ms_stack=ms0.stack, ms_top=ms0.top,
             pending=z3, nxt_o=z3, nxt_d=dx0,
             ret_pid=jnp.full((k_slots, mw), -1, jnp.int32),
-            acc=jnp.zeros((k_slots, 3, mw), jnp.float32))
+            acc=jnp.zeros((k_slots, mw), jnp.uint32))
 
     def _slots_to_image(out):
-        rows = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
         pids = out.ret_pid.reshape(-1)
         return jnp.zeros((c_pix, 3), jnp.float32).at[
             jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")

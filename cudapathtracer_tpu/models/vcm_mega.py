@@ -67,7 +67,7 @@ from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.ops.intersect import BIG_T
 from cudapathtracer_tpu.ops.traverse8 import (make_fused_step, trav_idle,
                                               trav_start)
-from cudapathtracer_tpu.utils import rng
+from cudapathtracer_tpu.utils import packing, rng
 from cudapathtracer_tpu.utils.math import (EPSILON, MAX_FIREFLY_LUM, PI,
                                            RAY_EPSILON, merge_radius)
 
@@ -85,8 +85,8 @@ _D_NEE = 16    # 3 draws
 
 _ID_STRIDE = 64  # ids = global_pixel_index * 64 + depth; eye_depth < 64
 
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "16"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "16"))
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "8"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
 # tuned default lane count + retire-slot factor — see unidirectional_mega
 MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
@@ -210,10 +210,13 @@ class _VState(NamedTuple):
     nxt_pdf_sa: jax.Array
     nxt_cos: jax.Array
     ret_pid: jax.Array    # [K,W] i32 pixel of each retired slot; -1 empty
-    acc: jax.Array        # [K,3,W] per-slot retired radiance: retiring is
-    #                       K masked row-writes, not a scatter (4.8 ms/
-    #                       transition on v5e); one scatter per chunk
-    #                       after the loop resolves slots to pixels
+    acc: jax.Array        # [K,W] u32 per-slot retired radiance (RGB9E5
+    #                       packed): retiring is a one-hot select over
+    #                       [K,W], not a scatter (4.8 ms/transition on
+    #                       v5e); one scatter per chunk after the loop
+    #                       resolves slots to pixels — see
+    #                       unidirectional_mega._MState.acc for the
+    #                       packing rationale
 
 
 def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
@@ -266,7 +269,7 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
         nxt_o=z3, nxt_d=dx0, nxt_thr=jnp.ones((3, w), jnp.float32),
         nxt_pdf_sa=zw, nxt_cos=zw,
         ret_pid=jnp.full((k_slots, w), -1, jnp.int32),
-        acc=jnp.zeros((k_slots, 3, w), jnp.float32))
+        acc=jnp.zeros((k_slots, w), jnp.uint32))
 
 
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
@@ -672,10 +675,10 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         dead = dead | (commit & ~alive)
 
         pid = s.pid
-        # fused one-hot retirement — see unidirectional_mega.transition
+        # fused one-hot packed retirement — see unidirectional_mega
         kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
         mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
-        acc = jnp.where(mg[:, None, :], li[None, :, :], s.acc)
+        acc = jnp.where(mg, packing.pack_rgb9e5_cols(li)[None, :], s.acc)
         ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
         ret_count = s.ret_count + dead.astype(jnp.int32)
         pid = jnp.where(dead, -1, pid)
@@ -911,7 +914,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             pyc.astype(jnp.float32), ci * c_pix), init)
         rays_tot = rays_tot + lrays + rays_s + out.rays
         # resolve retire slots to pixels: ONE scatter per chunk
-        rows = out.acc.transpose(0, 2, 1).reshape(-1, 3)
+        rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
         pids = out.ret_pid.reshape(-1)
         chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
             jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")

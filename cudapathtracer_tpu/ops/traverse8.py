@@ -39,7 +39,7 @@ from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
 # (closest-hit) / accumulated scale (shadow), up to MAX_RESTARTS times —
 # after which remaining losses would be silent (never observed; each restart
 # prunes far harder than the last).
-STACK_D = 28
+STACK_D = int(__import__("os").environ.get("TPT_STACK_D", "28"))
 MAX_RESTARTS = 3
 
 # Batcher odd-even merge sort network for 8 elements (19 comparators)

@@ -67,6 +67,19 @@ def pack_rgb9e5(c: jnp.ndarray) -> jnp.ndarray:
     return m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18) | (eb << 27)
 
 
+def pack_rgb9e5_cols(c: jnp.ndarray) -> jnp.ndarray:
+    """RGB [3,...] (lane-major, non-negative) -> uint32 [...]: the
+    column-major twin of pack_rgb9e5 for [3,W] wavefront registers (the
+    mega engines' retirement accumulator). Decode with unpack_rgb9e5."""
+    c = jnp.clip(c, 0.0, 65408.0)
+    maxc = jnp.maximum(jnp.maximum(c[0], c[1]), c[2])
+    e = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(maxc, 1e-10))), -15.0, 16.0)
+    scale = jnp.exp2(9.0 - e)
+    m = jnp.clip(jnp.round(c * scale[None]), 0, 511).astype(jnp.uint32)
+    eb = (e + 15.0).astype(jnp.uint32)
+    return m[0] | (m[1] << 9) | (m[2] << 18) | (eb << 27)
+
+
 def unpack_rgb9e5(u: jnp.ndarray) -> jnp.ndarray:
     r = (u & jnp.uint32(0x1FF)).astype(jnp.float32)
     g = ((u >> 9) & jnp.uint32(0x1FF)).astype(jnp.float32)

@@ -98,6 +98,11 @@ elif mode == "no_rng":
     def _half(key, tag, n, ids=None):
         return jnp.full((n,), 0.5, jnp.float32)
     rng_mod.uniform_any = _half
+elif mode == "no_retire":
+    # stub the [K,3,W] retirement sweep: paths still die and lanes refill,
+    # but radiance is dropped (image black) — isolates the one-hot
+    # where-sweep over the K-slot accumulator
+    os.environ["TPT_MEGA_ABLATE_RETIRE"] = "1"
 
 from cudapathtracer_tpu.models import unidirectional_mega as mega
 from cudapathtracer_tpu.scene import builtin
@@ -114,18 +119,20 @@ def main():
     px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
     px, py = px.ravel(), py.ravel()
     key = rng.base_key()
+    width = int(os.environ.get("TPT_ABLATE_WIDTH", "12960"))
     out = mega.render_sample(scene, cam, key, 0, px, py, max_depth=8,
-                             width=12960, debug_counters=True)
+                             width=width, debug_counters=True, grid_w=W)
     _ = float(out[0].sum())
     t0 = time.perf_counter()
     acc, rays, it, fires, busy = mega.render_sample(
-        scene, cam, key, 1, px, py, max_depth=8, width=12960,
-        debug_counters=True)
+        scene, cam, key, 1, px, py, max_depth=8, width=width,
+        debug_counters=True, grid_w=W)
     _ = float(acc.sum())
     dt = time.perf_counter() - t0
     it_i = int(it)
     print(f"{mode:>10}: {dt:6.2f}s  iters={it_i}  "
-          f"us/iter={dt/it_i*1e6:8.0f}  rays={int(rays)}", flush=True)
+          f"us/iter={dt/it_i*1e6:8.0f}  rays={int(rays)}  "
+          f"busy={int(busy)}", flush=True)
 
 
 if __name__ == "__main__":
