@@ -235,6 +235,12 @@ def main():
     else:
         w, h, subdiv = 1920, 1080, 6  # ~82k tris
 
+    # pay the one-time device-upload/ctypes/utility-jit initialization on a
+    # tiny throwaway scene (36 tris) so scene_build_s measures scene
+    # building, not process init (measured: first build 10.4 s, second
+    # 0.5 s for the SAME 82k-tri scene)
+    _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
+
     t0 = time.perf_counter()
     mesh = builtin.cornell_with_bunny(subdivisions=subdiv)
     scene, _ = build_scene(mesh, builtin_materials())

@@ -21,6 +21,7 @@ VPU work around it.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -38,8 +39,13 @@ from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
 # stack drains, the lane RESTARTS from the root with its tightened t_best
 # (closest-hit) / accumulated scale (shadow), up to MAX_RESTARTS times —
 # after which remaining losses would be silent (never observed; each restart
-# prunes far harder than the last).
-STACK_D = int(__import__("os").environ.get("TPT_STACK_D", "28"))
+# prunes far harder than the last). The [D,N] stack rides every pop/push
+# shift, so depth is HBM traffic: same-hour 1080p sweep (2026-08, v5e)
+# D=28/18/14/12/10 -> 10.33/10.68/10.94/10.18/9.53 Mrays/s — restarts stay
+# negligible down to 14 (lane-steps/ray 14.5 flat) and blow up below
+# (15.5/17.0). One-hot top-pointer stacks measured no better than shifts
+# (tools/stack_bench.py at the production width).
+STACK_D = int(_os.environ.get("TPT_STACK_D", "14"))
 MAX_RESTARTS = 3
 
 # Batcher odd-even merge sort network for 8 elements (19 comparators)
@@ -469,7 +475,11 @@ def make_fused_step(scene):
         is_leaf = valid & ((entry & leaf_bit) != 0)
         is_node = valid & ~is_leaf
         rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        rowT = table[rowid].T   # THE gather [N,64] -> [64,N]
+        # THE gather [N,64] -> [64,N]. Measured-neutral alternatives (same
+        # 1080p headline within noise): a pre-transposed [64,R] table
+        # gathered along axis 1, and an optimization_barrier forcing one
+        # materialization — XLA already handles the gather+transpose well.
+        rowT = table[rowid].T
 
         # ---- inner node: closest lanes benefit from the near-first
         # descent order; shadow lanes ride along (order-agnostic)
