@@ -408,10 +408,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pid = jnp.where(got, new_pid, pid)
         gp = jnp.where(got, new_pid, 0)
         gpx, gpy = pix_coords(pxc, pyc, gbase, gp)
-        go, gd = lm.generate_raysT(
-            camera, cam_key, gpx, gpy,
-            ids=ids2(gbase + jnp.where(got, new_pid, 0),
-                     jnp.zeros_like(new_pid)))
+        # camera jitter is keyed by PIXEL id (same stream as the classic
+        # engine and vcm_mega): primary rays are engine-invariant
+        go, gd = lm.generate_raysT(camera, cam_key, gpx, gpy,
+                                   ids=rng.pixel_ids(gpx, gpy))
         # fresh path registers for refilled lanes
         g2 = got[None, :]
         li = jnp.where(g2, 0.0, li)
@@ -538,8 +538,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         gp = jnp.maximum(pid0, 0)
         gpx, gpy = pix_coords(pxc, pyc, gbase, gp)
         go, gd = lm.generate_raysT(camera, cam_key, gpx, gpy,
-                                   ids=ids2(gbase + gp,
-                                            jnp.zeros_like(lane)))
+                                   ids=rng.pixel_ids(gpx, gpy))
         return _MState(
             rays=jnp.sum(live.astype(jnp.int32)), it=jnp.int32(0),
             fires=jnp.int32(0), busy=jnp.int32(0),

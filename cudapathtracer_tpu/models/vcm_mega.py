@@ -90,6 +90,12 @@ MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
 # tuned default lane count + retire-slot factor — see unidirectional_mega
 MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
+# photon-merge sub-wavefront capacity (lanes merged per FULL transition).
+# The merge fold's gathers cost ~per-row, so folding at the full width W
+# wastes ~97% of the HBM traffic on lanes with nothing to merge (steady
+# state ~2-3% of lanes reach a non-delta shade point per transition).
+# 0 = auto (W/8, >=512, rounded up to the 128-lane register width).
+MERGE_W = int(_os.environ.get("TPT_MEGA_MERGE_W", "0"))
 
 
 def _clampT(c):
@@ -275,7 +281,8 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     gens, k_slots, cnt, eta_vcm, mr, merge_norm, grid,
                     conn_table, lpath_len, steps_per_iter, mini_splits,
-                    flavor: str = "vcm", grid_w: int = 0):
+                    flavor: str = "vcm", grid_w: int = 0,
+                    merge_w: int = 0):
     """Build (cond, make_body) for one chunk's persistent eye machine.
     Lane l statically owns pixels g*w + l (see _VState.acc).
 
@@ -300,6 +307,16 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     # stores light_depth vertices, the BDPT walk light_depth-1
     l_depth = cfg.light_depth - 1 if is_bdpt else cfg.light_depth
     do_conn = do_conn and l_depth > 0
+    # merge sub-wavefront capacity (see MERGE_W); capacity >= w disables
+    # compaction and runs the legacy full-width masked fold
+    if cfg.do_merge:
+        mw = merge_w or MERGE_W
+        if mw <= 0:
+            mw = max(512, -(-(w // 8) // 128) * 128)
+        mw = min(mw, w)
+    else:
+        mw = 0
+    compact_merge = cfg.do_merge and mw < w
     plane_area = (4.0 * (camera.width / camera.height)
                   * camera.fov_scale * camera.fov_scale)
     # skip BSDF lobes no triangle references (bit-exact; see lanemajor)
@@ -532,10 +549,23 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
             n_conn_ok = valid & ~cur_delta
 
+            # ---- merge capacity selection (compacted deferred merge).
+            # Lanes needing a photon fold beyond the sub-wavefront's
+            # capacity DEFER the whole shade to the next full transition:
+            # they stay drained in _PH_CLOSEST with the hit record intact,
+            # and the recompute is bit-identical because every draw is
+            # counter-keyed by (pixel, depth). Steady-state demand is far
+            # below capacity; deferral only bites on the refill burst.
+            defer = jnp.zeros_like(cl_done)
+            if compact_merge:
+                m_rank = jnp.cumsum(n_conn_ok.astype(jnp.int32))
+                m_sel = n_conn_ok & (m_rank <= mw)
+                defer = n_conn_ok & ~m_sel
+
             # ---- s=0 implicit hit (VCM connectImplicitHit 2389-2446;
             # BDPT deviceCode.cu:1552-1646)
             if cfg.naive:
-                is_light = (n_conn_ok & (info["light_ind"] >= 0)
+                is_light = (n_conn_ok & ~defer & (info["light_ind"] >= 0)
                             & ~info["backface"])
                 lidx = jnp.maximum(info["light_ind"], 0)
                 le = scene.light_emission[lidx].T
@@ -579,34 +609,66 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     out = _clampT(_weightedT(le * thr, weight, cfg))
                 li = li + jnp.where(is_light[None, :], out, 0.0)
 
-            # ---- photon merge (deviceCode.cu:2968-3048) at this vertex
+            # ---- photon merge (deviceCode.cu:2968-3048) at this vertex.
+            # The fold's per-cell gathers cost ~per-row, so it runs on a
+            # COMPACTED sub-wavefront of the <=mw selected lanes instead
+            # of masked full width (the selection above guarantees every
+            # processed lane fits).
             if cfg.do_merge:
-                eye_prev_loc = lm.to_localT(lm.normalizeT(prev_pt - npos),
-                                            normal)
+                if compact_merge:
+                    # top_k on (w - lane | 0) picks the selected lanes in
+                    # ascending lane order, deterministically
+                    mkey = jnp.where(
+                        m_sel, w - jnp.arange(w, dtype=jnp.int32), 0)
+                    mvals, m_idx = jax.lax.top_k(mkey, mw)
+                    sub_ok = mvals > 0
+                    tk = lambda a: jnp.take(a, m_idx, axis=-1)
+                    npos_m, normal_m = tk(npos), tk(normal)
+                    prev_dir_m = tk(lm.normalizeT(prev_pt - npos))
+                    thr_m = tk(thr)
+                    dvcm_m, dvm_m = tk(n_dvcm), tk(n_dvm)
+                    albedo_m, trans_m = tk(albedo), tk(trans)
+                    mat_m = jax.tree.map(tk, mat)
+                    active_m = sub_ok
+                else:
+                    npos_m, normal_m = npos, normal
+                    prev_dir_m = lm.normalizeT(prev_pt - npos)
+                    thr_m, dvcm_m, dvm_m = thr, n_dvcm, n_dvm
+                    albedo_m, trans_m, mat_m = albedo, trans, mat
+                    active_m = n_conn_ok
+                eye_prev_loc = lm.to_localT(prev_dir_m, normal_m)
+                ones_m = jnp.ones_like(dvcm_m)
 
                 def merge_fold(csum, row, in_range):
                     _, p_wi, p_beta, p_d_vcm, p_d_vm = \
                         hashgrid.photon_fields(row)
                     photon_wi = p_wi.T
-                    wi_loc = lm.to_localT(photon_wi, normal)
-                    f_m = bsdf_fT(mat, albedo, wi_loc, eye_prev_loc,
-                                     ones, transmission=trans)
-                    pdf_eye_rev = bsdf_pdfT(mat, wi_loc, eye_prev_loc,
-                                               ones, transmission=trans)
-                    pdf_light_rev = bsdf_pdfT(mat, eye_prev_loc, wi_loc,
-                                                 ones, transmission=trans)
-                    w_eye = n_dvcm / jnp.maximum(eta_vcm, 1e-30) \
-                        + pdf_eye_rev * n_dvm
+                    wi_loc = lm.to_localT(photon_wi, normal_m)
+                    f_m = bsdf_fT(mat_m, albedo_m, wi_loc, eye_prev_loc,
+                                     ones_m, transmission=trans_m)
+                    pdf_eye_rev = bsdf_pdfT(mat_m, wi_loc, eye_prev_loc,
+                                               ones_m, transmission=trans_m)
+                    pdf_light_rev = bsdf_pdfT(mat_m, eye_prev_loc, wi_loc,
+                                                 ones_m, transmission=trans_m)
+                    w_eye = dvcm_m / jnp.maximum(eta_vcm, 1e-30) \
+                        + pdf_eye_rev * dvm_m
                     w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                         + pdf_light_rev * p_d_vm
                     wt = 1.0 / (1.0 + w_eye + w_light)
-                    contrib = p_beta.T * f_m * thr * merge_norm
+                    contrib = p_beta.T * f_m * thr_m * merge_norm
                     out = _weightedT(contrib, wt, cfg)
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
-                li = hashgrid.fold_neighbors(
-                    grid, npos.T, mr, cfg.max_per_cell, merge_fold, li,
-                    active=n_conn_ok)
+                if compact_merge:
+                    li_m = hashgrid.fold_neighbors(
+                        grid, npos_m.T, mr, cfg.max_per_cell, merge_fold,
+                        jnp.zeros_like(npos_m), active=active_m)
+                    li = li.at[:, m_idx].add(
+                        jnp.where(sub_ok[None, :], li_m, 0.0))
+                else:
+                    li = hashgrid.fold_neighbors(
+                        grid, npos_m.T, mr, cfg.max_per_cell, merge_fold,
+                        li, active=active_m)
 
             # ---- stage next-bounce registers
             w_thr = thr * f_val * (jnp.abs(wi_local[2])
@@ -620,7 +682,9 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             if cfg.do_sppm and cfg.do_merge:
                 keep = keep & cur_delta  # first-surface break (3046)
 
-            up = cl_done
+            # deferred lanes commit NOTHING: they stay drained in
+            # _PH_CLOSEST (ts keeps the hit record) and re-shade next time
+            up = cl_done & ~defer
             up3 = up[None, :]
             pos = jnp.where(up3, npos, pos)
             cur_tri = jnp.where(up, hit.tri, cur_tri)
@@ -638,10 +702,10 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             nxt_thr = jnp.where(up3, w_thr, nxt_thr)
             nxt_pdf_sa = jnp.where(up, pdf_sa, nxt_pdf_sa)
             nxt_cos = jnp.where(up, jnp.abs(wi_local[2]), nxt_cos)
-            prev_delta = jnp.where(reached, cur_delta, prev_delta)
+            prev_delta = jnp.where(reached & ~defer, cur_delta, prev_delta)
 
             # shaded lanes enter the phase chain
-            can_shadow = valid & n_conn_ok
+            can_shadow = valid & n_conn_ok & ~defer
             if do_nee:
                 nee_go = can_shadow
             conn_from_shade = jnp.zeros_like(can_shadow)
@@ -650,7 +714,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             conn_next = conn_next | conn_from_shade
             nextj = jnp.where(conn_from_shade, 0, nextj)
             # valid lanes with no shadow work commit straight away
-            commit = commit | (cl_done & valid & ~nee_go & ~conn_from_shade)
+            commit = commit | (up & valid & ~nee_go & ~conn_from_shade)
             dead = dead | (cl_done & reached & ~valid)
 
         # ---- 3. conn launches (both transition kinds) ------------------
@@ -799,11 +863,12 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "chunk_pixels",
                                    "steps_per_iter", "mini_splits",
-                                   "debug_counters", "grid_w"))
+                                   "debug_counters", "grid_w", "merge_w"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   cfg: VCMConfig, width: int = 0, chunk_pixels: int = 0,
                   steps_per_iter: int = 0, mini_splits: int = 0,
-                  debug_counters: bool = False, grid_w: int = 0):
+                  debug_counters: bool = False, grid_w: int = 0,
+                  merge_w: int = 0):
     """One progressive VCM/SPPM sample -> (radiance [P,3], rays).
 
     Persistent-eye-pass counterpart of models/vcm.render_sample (which
@@ -811,7 +876,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     grid_w: px/py form a raveled row-major grid of this width; the eye
     machine then derives pixel coords arithmetically instead of per-
-    transition frame-table gathers (see unidirectional_mega)."""
+    transition frame-table gathers (see unidirectional_mega).
+
+    merge_w: photon-merge sub-wavefront capacity (lanes folded per FULL
+    transition). 0 = auto (W/8); >= width disables compaction (legacy
+    full-width masked fold). Pure scheduling knob — the image is
+    invariant to it (tests/test_vcm_mega.py)."""
     steps_per_iter = steps_per_iter or STEPS_PER_ITER
     mini_splits = mini_splits or MINI_SPLITS
     p_total = px.shape[0]
@@ -905,7 +975,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         cond, make_body = _mk_eye_machine(
             scene, camera, cfg, key_e, cam_key, w, gens, k_slots, cnt,
             eta_vcm, mr, merge_norm, grid, conn_table, lpath_len,
-            steps_per_iter, mini_splits, grid_w=grid_w)
+            steps_per_iter, mini_splits, grid_w=grid_w, merge_w=merge_w)
 
         init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
                              gbase=ci * c_pix, grid_w=grid_w)

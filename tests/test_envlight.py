@@ -53,7 +53,10 @@ def test_env_on_all_integrators_agree_on_miss():
     assert np.isfinite(a).all() and (a.max(axis=-1) > 0).all()
     # depth-0 miss radiance IS sky(primary d): engine-independent
     np.testing.assert_allclose(a, np.asarray(li_n), atol=1e-6)
-    np.testing.assert_allclose(a, np.asarray(li_m), atol=1e-6)
-    # gradient sky: upper rows (zenith-leaning) bluer than lower rows
+    # the mega engine retires through the RGB9E5 packed accumulator
+    # (shared-exponent 9-bit mantissa): quantum <= 2^-9 at these values
+    np.testing.assert_allclose(a, np.asarray(li_m), atol=2.5e-3)
+    # gradient sky: zenith-leaning rows bluer than horizon-leaning rows
+    # (py grows along +v = camera up, camera.py:94)
     img = a.reshape(SIZE, SIZE, 3)
-    assert img[0, :, 2].mean() > img[-1, :, 2].mean()
+    assert img[-1, :, 2].mean() > img[0, :, 2].mean()

@@ -77,6 +77,26 @@ def test_vcm_mega_width_and_chunk_invariant(setup):
                                atol=1e-5)
 
 
+def test_vcm_mega_merge_capacity_invariant(setup):
+    """The compacted deferred merge is a pure scheduling change: any
+    sub-wavefront capacity must reproduce the legacy full-width fold
+    (deferred lanes re-shade bit-identically from counter-keyed RNG)."""
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=4, light_depth=3, max_per_cell=8)
+    kw = dict(cfg=cfg, width=W * W)
+    legacy, _ = vcm_mega.render_sample(scene, cam, key, 2, px, py,
+                                       merge_w=W * W, **kw)
+    ample, _ = vcm_mega.render_sample(scene, cam, key, 2, px, py,
+                                      merge_w=64, **kw)
+    tiny, _ = vcm_mega.render_sample(scene, cam, key, 2, px, py,
+                                     merge_w=8, **kw)
+    np.testing.assert_allclose(np.asarray(ample), np.asarray(legacy),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tiny), np.asarray(legacy),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sppm_mega_mode_runs(setup):
     cfg = vcm.VCMConfig(eye_depth=5, light_depth=4, light_trace=False,
                         nee=False, naive=False, connection=False,

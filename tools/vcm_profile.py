@@ -39,6 +39,26 @@ def main():
     px, py = px.ravel(), py.ravel()
     key = rng.base_key()
 
+    # direct grid-build probe: the argsort + boundary scatters at the
+    # workload's true photon count (c_pix * (light_depth+1) rows)
+    import jax
+
+    from cudapathtracer_tpu.ops import hashgrid
+    p_rows = n * n * 11
+    key_p = jax.random.PRNGKey(0)
+    rows = jax.random.uniform(key_p, (p_rows, 8), jnp.float32)
+    valid = jax.random.uniform(key_p, (p_rows,)) < 0.4
+    table = hashgrid.photon_table_size(p_rows)
+    bg = jax.jit(lambda r, v: hashgrid.build_grid(
+        r, v, jnp.zeros((3,)), 0.01, table))
+    g = bg(rows, valid)
+    _ = float(g.rows.sum())
+    t0 = time.perf_counter()
+    g = bg(rows, valid)
+    _ = float(g.rows.sum())
+    print(f"    build_grid: {time.perf_counter()-t0:7.2f}s  "
+          f"({p_rows/1e6:.1f}M rows, table {table/1e6:.1f}M)", flush=True)
+
     variants = {
         "full": vcm.VCMConfig(eye_depth=16, light_depth=10),
         "no_merge": vcm.VCMConfig(eye_depth=16, light_depth=10,
