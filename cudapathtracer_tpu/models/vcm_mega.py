@@ -92,9 +92,12 @@ MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 # photon-merge sub-wavefront capacity (lanes merged per FULL transition).
 # The merge fold's gathers cost ~per-row, so folding at the full width W
-# wastes ~97% of the HBM traffic on lanes with nothing to merge (steady
-# state ~2-3% of lanes reach a non-delta shade point per transition).
-# 0 = auto (W/8, >=512, rounded up to the 128-lane register width).
+# wastes most of the HBM traffic on lanes with nothing to merge. Too small
+# a capacity throttles instead (deferral stalls): demand on the shipped
+# 800^2 eye16/light10 workload is ~4.7k merges/transition, and the v5e
+# sweep (same-hour, W=12960) measured 640/1664/2304/3200/4352/6400/12960
+# -> 39.9/19.7/17.8/13.5/15.8/20.3/33.9 s per sample. W/4 is the optimum.
+# 0 = auto (W/4, >=512, rounded up to the 128-lane register width).
 MERGE_W = int(_os.environ.get("TPT_MEGA_MERGE_W", "0"))
 
 
@@ -312,7 +315,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     if cfg.do_merge:
         mw = merge_w or MERGE_W
         if mw <= 0:
-            mw = max(512, -(-(w // 8) // 128) * 128)
+            mw = max(512, -(-(w // 4) // 128) * 128)
         mw = min(mw, w)
     else:
         mw = 0
@@ -879,7 +882,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     transition frame-table gathers (see unidirectional_mega).
 
     merge_w: photon-merge sub-wavefront capacity (lanes folded per FULL
-    transition). 0 = auto (W/8); >= width disables compaction (legacy
+    transition). 0 = auto (W/4); >= width disables compaction (legacy
     full-width masked fold). Pure scheduling knob — the image is
     invariant to it (tests/test_vcm_mega.py)."""
     steps_per_iter = steps_per_iter or STEPS_PER_ITER
