@@ -41,9 +41,37 @@ def _grid(w, h):
     return px.ravel(), py.ravel()
 
 
-def _time_samples(step, spp, warmup=1):
+def _time_samples(step, spp, warmup=1, inner=None, ctx=None, batch=1):
     """Run `step(sample_idx) -> (li, rays)` spp times after a warmup
-    compile; returns (seconds, total_rays, accumulated_image)."""
+    compile; returns (seconds, total_rays, accumulated_image).
+
+    With batch > 1 (requires inner/ctx: the explicit-arg per-sample step
+    and its (scene, cam, key, px, py) arguments), samples are accumulated
+    device-side in one dispatch per `batch` samples (models/batch.py) —
+    amortizing the ~24 ms tunnel dispatch floor that dominates small
+    frames."""
+    if batch > 1:
+        from cudapathtracer_tpu.models.batch import make_batched
+        scene, cam, key, px, py = ctx
+        batched = make_batched(inner)
+        k0 = min(batch, spp)
+        li, rays = batched(scene, cam, key, warmup - 1, px, py, k0)
+        _ = float(li.sum())  # forces completion through the axon tunnel
+        acc = jnp.zeros_like(li)
+        rtot = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        s = warmup
+        while s < warmup + spp:
+            k = min(batch, warmup + spp - s)
+            li, rays = batched(scene, cam, key, s, px, py, k)
+            acc = acc + li
+            rtot = rtot + rays
+            s += k
+            _ = float(rays)
+        img = np.asarray(acc)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(img).all(), "NaN/Inf in benchmark render"
+        return dt, int(rtot), img
     li, rays = step(warmup - 1)
     _ = float(li.sum())  # forces completion through the axon tunnel
     acc = jnp.zeros_like(li)
@@ -63,15 +91,17 @@ def _time_samples(step, spp, warmup=1):
 
 
 def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
-               extra=None):
+               extra=None, batch=1):
     from cudapathtracer_tpu.models import unidirectional_mega
 
-    def step(s):
+    def inner(sc, c, k, s, ipx, ipy):
         return unidirectional_mega.render_sample(
-            scene, cam, key, s, px, py, max_depth=max_depth,
-            width=min(width, int(px.shape[0])), grid_w=cam.width)
+            sc, c, k, s, ipx, ipy, max_depth=max_depth,
+            width=min(width, int(ipx.shape[0])), grid_w=c.width)
 
-    dt, rays, _ = _time_samples(step, spp)
+    dt, rays, _ = _time_samples(lambda s: inner(scene, cam, key, s, px, py),
+                                spp, inner=inner,
+                                ctx=(scene, cam, key, px, py), batch=batch)
     mrays = rays / dt / 1e6
     result = {
         "metric": metric, "value": round(mrays, 3), "unit": "Mrays/s",
@@ -92,6 +122,10 @@ def run_suite(args, key):
     from cudapathtracer_tpu.scene.scene import build_scene
 
     mats = builtin_materials()
+    # suite lines run at small frames where the ~24 ms tunnel dispatch
+    # floor + per-sample readback dominate; batch samples into one
+    # dispatch (bit-identical — tests/test_batch.py)
+    batch = args.batch if args.batch > 0 else min(args.spp, 4)
 
     # ---- BASELINE config 1: Cornell box, Lambertian + area light, 512^2
     scene, _ = build_scene(builtin.cornell_with_blocks(), mats)
@@ -99,19 +133,20 @@ def run_suite(args, key):
     cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
     px, py = _grid(w, h)
     _emit(bench_mega(scene, cam, key, px, py, args.spp, args.width,
-                     "config1 Cornell 512x512 mega"))
+                     "config1 Cornell 512x512 mega", batch=batch))
 
     # ---- BASELINE config 2: specular (mirror + dielectric), 512^2
     scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
     _emit(bench_mega(scene2, cam, key, px, py, args.spp, args.width,
-                     "config2 specular mirror+glass 512x512 mega"))
+                     "config2 specular mirror+glass 512x512 mega",
+                     batch=batch))
 
     # ---- BASELINE config 4: NEE + GGX microfacet with MIS, 512^2
     mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
     scene4, _ = build_scene(mesh4, mats)
     _emit(bench_mega(scene4, cam, key, px, py, args.spp, args.width,
                      f"config4 NEE+GGX steel mesh({mesh4.num_triangles}) "
-                     "512x512 mega"))
+                     "512x512 mega", batch=batch))
 
     # ---- per-integrator small workload: 256^2 Cornell, fixed depths
     ws = hs = 256
@@ -119,8 +154,11 @@ def run_suite(args, key):
     pxs, pys = _grid(ws, hs)
     spp_s = max(args.spp // 2, 1)
 
-    def emit_integrator(name, step):
-        dt, rays, _ = _time_samples(step, spp_s)
+    def emit_integrator(name, inner):
+        dt, rays, _ = _time_samples(
+            lambda s: inner(scene, cam_s, key, s, pxs, pys), spp_s,
+            inner=inner, ctx=(scene, cam_s, key, pxs, pys),
+            batch=min(batch, spp_s))
         mrays = rays / dt / 1e6
         _emit({"metric": f"integrator {name} 256x256 Cornell",
                "value": round(mrays, 3), "unit": "Mrays/s",
@@ -128,36 +166,41 @@ def run_suite(args, key):
                "spp_per_s": round(spp_s / dt, 4), "rays": rays,
                "seconds": round(dt, 3)})
 
-    emit_integrator("naive", lambda s: naive.render_sample(
-        scene, cam_s, key, s, pxs, pys, max_depth=6))
+    emit_integrator("naive", lambda sc, c, k, s, px, py: naive.render_sample(
+        sc, c, k, s, px, py, max_depth=6))
     emit_integrator("unidirectional-classic",
-                    lambda s: unidirectional.render_sample(
-                        scene, cam_s, key, s, pxs, pys, max_depth=6))
+                    lambda sc, c, k, s, px, py: unidirectional.render_sample(
+                        sc, c, k, s, px, py, max_depth=6))
     emit_integrator("unidirectional-mega",
-                    lambda s: unidirectional_mega.render_sample(
-                        scene, cam_s, key, s, pxs, pys, max_depth=6,
-                        width=min(args.width, int(pxs.shape[0])),
+                    lambda sc, c, k, s, px, py:
+                    unidirectional_mega.render_sample(
+                        sc, c, k, s, px, py, max_depth=6,
+                        width=min(args.width, int(px.shape[0])),
                         grid_w=ws))
     if not args.skip_suite_slow:
         bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
-        emit_integrator("bdpt", lambda s: bdpt.render_sample(
-            scene, cam_s, key, s, pxs, pys, cfg=bcfg))
+        emit_integrator("bdpt", lambda sc, c, k, s, px, py:
+                        bdpt.render_sample(sc, c, k, s, px, py, cfg=bcfg))
         from cudapathtracer_tpu.models import bdpt_mega
-        emit_integrator("bdpt-mega", lambda s: bdpt_mega.render_sample(
-            scene, cam_s, key, s, pxs, pys, cfg=bcfg,
-            width=min(args.width, int(pxs.shape[0])), grid_w=ws))
+        emit_integrator("bdpt-mega", lambda sc, c, k, s, px, py:
+                        bdpt_mega.render_sample(
+                            sc, c, k, s, px, py, cfg=bcfg,
+                            width=min(args.width, int(px.shape[0])),
+                            grid_w=ws))
         vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
-        emit_integrator("vcm", lambda s: vcm.render_sample(
-            scene, cam_s, key, s, pxs, pys, cfg=vcfg))
+        emit_integrator("vcm", lambda sc, c, k, s, px, py:
+                        vcm.render_sample(sc, c, k, s, px, py, cfg=vcfg))
         from cudapathtracer_tpu.models import vcm_mega
-        emit_integrator("vcm-mega", lambda s: vcm_mega.render_sample(
-            scene, cam_s, key, s, pxs, pys, cfg=vcfg,
-            width=min(args.width, int(pxs.shape[0])), grid_w=ws))
+        emit_integrator("vcm-mega", lambda sc, c, k, s, px, py:
+                        vcm_mega.render_sample(
+                            sc, c, k, s, px, py, cfg=vcfg,
+                            width=min(args.width, int(px.shape[0])),
+                            grid_w=ws))
         scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
                              nee=False, naive=False, connection=False,
                              do_mis=False, do_sppm=True)
-        emit_integrator("sppm", lambda s: vcm.render_sample(
-            scene, cam_s, key, s, pxs, pys, cfg=scfg))
+        emit_integrator("sppm", lambda sc, c, k, s, px, py:
+                        vcm.render_sample(sc, c, k, s, px, py, cfg=scfg))
 
     # ---- config6: the reference's SHIPPED workload (configs/config.
     # rendertron:3-28 — 800x800 VCM, eye depth 16, light depth 10) on the
@@ -212,6 +255,10 @@ def main():
                     help="mega wavefront lane count; 0 = engine default "
                          "(models/unidirectional_mega.MEGA_WIDTH, the v5e "
                          "sweep optimum)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="samples per device dispatch for the suite lines "
+                         "(0 = auto: min(spp, 4)); amortizes the ~24 ms "
+                         "tunnel dispatch floor at small frames")
     args = ap.parse_args()
 
     # pay the remote-tunnel first-transfer initialization outside the timers

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-progressive", action="store_true")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--samples-per-dispatch", type=int, default=None,
+                    help="samples accumulated per device dispatch "
+                         "(bit-identical to 1; amortizes dispatch overhead "
+                         "at small frames)")
     args = ap.parse_args(argv)
 
     from cudapathtracer_tpu.driver import Renderer, mesh_from_config
@@ -67,6 +71,9 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, width=args.width)
     if args.height:
         cfg = dataclasses.replace(cfg, height=args.height)
+    if args.samples_per_dispatch:
+        cfg = dataclasses.replace(
+            cfg, samples_per_dispatch=args.samples_per_dispatch)
 
     for rn in range(args.renders):
         print(f'Began render number {rn}: "{cfg.name}"')

@@ -126,63 +126,64 @@ class Renderer:
 
     # ------------------------------------------------------------------
     def _sample_fn(self):
+        """Per-sample integrator step with EXPLICIT array args:
+        inner(scene, camera, key, sample_idx, px, py) -> (li [P,3], rays).
+        Arrays stay jit arguments (not captured constants) so the step can
+        also be traced inside the k-sample batch dispatch (models/batch.py)
+        without re-staging the scene through the device tunnel."""
         cfg = self.cfg
         integ = cfg.integrator
         if integ == "NAIVE_UNIDIRECTIONAL":
-            def step(sample_idx):
+            def inner(scene, camera, key, sample_idx, px, py):
                 return naive_mod.render_sample(
-                    self.scene, self.camera, self.key, sample_idx,
-                    self.px, self.py, max_depth=max(cfg.max_depth, 1),
+                    scene, camera, key, sample_idx, px, py,
+                    max_depth=max(cfg.max_depth, 1),
                     sample_environment=cfg.sample_environment)
-            return step
+            return inner
         if integ == "UNIDIRECTIONAL":
             if cfg.engine == "mega":
                 from cudapathtracer_tpu.models import unidirectional_mega
-                def step(sample_idx):
+                def inner(scene, camera, key, sample_idx, px, py):
                     return unidirectional_mega.render_sample(
-                        self.scene, self.camera, self.key, sample_idx,
-                        self.px, self.py, max_depth=max(cfg.max_depth, 1),
+                        scene, camera, key, sample_idx, px, py,
+                        max_depth=max(cfg.max_depth, 1),
                         sample_environment=cfg.sample_environment,
                         grid_w=cfg.width)
-                return step
-            def step(sample_idx):
+                return inner
+            def inner(scene, camera, key, sample_idx, px, py):
                 return uni_mod.render_sample(
-                    self.scene, self.camera, self.key, sample_idx,
-                    self.px, self.py, max_depth=max(cfg.max_depth, 1),
+                    scene, camera, key, sample_idx, px, py,
+                    max_depth=max(cfg.max_depth, 1),
                     sample_environment=cfg.sample_environment)
-            return step
+            return inner
         if integ == "BIDIRECTIONAL":
             from cudapathtracer_tpu.models import bdpt as bdpt_mod
+            bcfg = bdpt_mod.BDPTConfig.from_config(cfg)
             if cfg.engine == "mega":
                 from cudapathtracer_tpu.models import bdpt_mega
-                def step(sample_idx):
+                def inner(scene, camera, key, sample_idx, px, py):
                     return bdpt_mega.render_sample(
-                        self.scene, self.camera, self.key, sample_idx,
-                        self.px, self.py,
-                        cfg=bdpt_mod.BDPTConfig.from_config(cfg),
-                        grid_w=cfg.width)
-                return step
-            def step(sample_idx):
+                        scene, camera, key, sample_idx, px, py,
+                        cfg=bcfg, grid_w=cfg.width)
+                return inner
+            def inner(scene, camera, key, sample_idx, px, py):
                 return bdpt_mod.render_sample(
-                    self.scene, self.camera, self.key, sample_idx,
-                    self.px, self.py, cfg=bdpt_mod.BDPTConfig.from_config(cfg))
-            return step
+                    scene, camera, key, sample_idx, px, py, cfg=bcfg)
+            return inner
         if integ in ("VCM", "SPPM"):
             from cudapathtracer_tpu.models import vcm as vcm_mod
+            vcfg = vcm_mod.VCMConfig.from_config(cfg)
             if cfg.engine == "mega":
                 from cudapathtracer_tpu.models import vcm_mega
-                def step(sample_idx):
+                def inner(scene, camera, key, sample_idx, px, py):
                     return vcm_mega.render_sample(
-                        self.scene, self.camera, self.key, sample_idx,
-                        self.px, self.py,
-                        cfg=vcm_mod.VCMConfig.from_config(cfg),
-                        grid_w=cfg.width)
-                return step
-            def step(sample_idx):
+                        scene, camera, key, sample_idx, px, py,
+                        cfg=vcfg, grid_w=cfg.width)
+                return inner
+            def inner(scene, camera, key, sample_idx, px, py):
                 return vcm_mod.render_sample(
-                    self.scene, self.camera, self.key, sample_idx,
-                    self.px, self.py, cfg=vcm_mod.VCMConfig.from_config(cfg))
-            return step
+                    scene, camera, key, sample_idx, px, py, cfg=vcfg)
+            return inner
         raise ValueError(f"integrator {integ} not wired")
 
     # ------------------------------------------------------------------
@@ -192,7 +193,11 @@ class Renderer:
         """Run the progressive sample loop. Returns the final Image."""
         cfg = self.cfg
         total = num_samples if num_samples is not None else cfg.sample_count
-        step = self._sample_fn()
+        inner = self._sample_fn()
+        spd = max(cfg.samples_per_dispatch, 1)
+        if spd > 1:
+            from cudapathtracer_tpu.models.batch import make_batched
+            batched = make_batched(inner)
 
         if checkpoint_path and resume and os.path.exists(checkpoint_path):
             self.load_checkpoint(checkpoint_path)
@@ -203,11 +208,18 @@ class Renderer:
         rtot = jnp.zeros((), jnp.int32)  # device-side; fetched only on saves
         with self.metrics.phase("render"):
             while self.sample_count < total:
-                li, rays = step(self.sample_count)
+                k = min(spd, total - self.sample_count)
+                if k > 1:
+                    li, rays = batched(self.scene, self.camera, self.key,
+                                       self.sample_count, self.px, self.py,
+                                       k)
+                else:
+                    li, rays = inner(self.scene, self.camera, self.key,
+                                     self.sample_count, self.px, self.py)
                 self.accum = self.accum + li
                 rtot = rtot + rays
-                self.sample_count += 1
-                self.metrics.samples_done += 1
+                self.sample_count += k
+                self.metrics.samples_done += k
 
                 now = time.monotonic()
                 if (progressive

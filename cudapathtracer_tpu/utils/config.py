@@ -100,6 +100,11 @@ class RenderConfig:
     seed: int = 103033                 # deviceCode.cu:57
     save_interval_seconds: float = 5.0  # progressive save cadence (deviceCode.cu:226)
     output_dir: str = "renders"
+    # samples accumulated per device dispatch (lax.fori_loop over the
+    # per-sample body — the TPU analogue of batching CUDA-Graph replays,
+    # main.cu:538-599). Bit-identical to 1 (positional RNG); amortizes
+    # the ~24 ms tunnel dispatch floor at small frames.
+    samples_per_dispatch: int = 1
 
     def normalized(self) -> "RenderConfig":
         """Resolve integrator aliases + apply the SPPM flag override
@@ -192,6 +197,7 @@ _KEYMAP = {
     "Seed": ("seed", int),
     "Engine": ("engine", lambda s: s.strip().lower()),
     "Save Interval Seconds": ("save_interval_seconds", float),
+    "Samples Per Dispatch": ("samples_per_dispatch", int),
     "Output Dir": ("output_dir", str),
 }
 
