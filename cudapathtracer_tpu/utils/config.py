@@ -103,8 +103,11 @@ class RenderConfig:
     # samples accumulated per device dispatch (lax.fori_loop over the
     # per-sample body — the TPU analogue of batching CUDA-Graph replays,
     # main.cu:538-599). Bit-identical to 1 (positional RNG); amortizes
-    # the ~24 ms tunnel dispatch floor at small frames.
-    samples_per_dispatch: int = 1
+    # the ~24 ms tunnel dispatch floor at small frames. 0 = auto: on an
+    # accelerator backend, frames <= 512^2 batch min(8, 2^21/pixels)
+    # samples (measured 3.6x at 256^2); large frames and the CPU backend
+    # stay at 1 (per-sample dispatch, prompt progressive saves).
+    samples_per_dispatch: int = 0
 
     def normalized(self) -> "RenderConfig":
         """Resolve integrator aliases + apply the SPPM flag override

@@ -69,3 +69,21 @@ def test_driver_samples_per_dispatch_invariant(tmp_path):
     img1 = Renderer(cfg(1)).render(progressive=False, verbose=False)
     img2 = Renderer(cfg(2)).render(progressive=False, verbose=False)
     np.testing.assert_array_equal(img1.pixels, img2.pixels)
+
+
+def test_auto_samples_per_dispatch():
+    """Auto (0): accelerator small frames batch, CPU and large frames
+    stay per-sample; explicit values always win."""
+    from cudapathtracer_tpu.driver import resolve_samples_per_dispatch
+    from cudapathtracer_tpu.utils.config import RenderConfig
+
+    small = RenderConfig(width=256, height=256)
+    large = RenderConfig(width=1920, height=1080)
+    assert resolve_samples_per_dispatch(small, backend="tpu") == 8
+    assert resolve_samples_per_dispatch(
+        RenderConfig(width=512, height=512), backend="tpu") == 8
+    assert resolve_samples_per_dispatch(large, backend="tpu") == 1
+    assert resolve_samples_per_dispatch(small, backend="cpu") == 1
+    assert resolve_samples_per_dispatch(
+        RenderConfig(width=256, height=256, samples_per_dispatch=3),
+        backend="cpu") == 3
