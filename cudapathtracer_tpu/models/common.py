@@ -25,6 +25,54 @@ AIR_INDEX = 0           # material 0 is always air (main.cu:448)
 
 
 # ---------------------------------------------------------------------------
+# Bounce-level straggler compaction (shared by the classic wavefront
+# integrators; the persistent mega engines have their own slot machinery)
+# ---------------------------------------------------------------------------
+
+def compacted_loop(cond, body, init, n: int, min_width: int, frac: int = 4):
+    """Run a bounce `while_loop` with straggler compaction: at full width
+    only while the live-lane count exceeds n/frac, then gather survivors
+    into an n/frac-wide wavefront and recurse — dead lanes stop paying for
+    traversal, shading and RNG (the lockstep-tail cost the v5e cost model
+    indicts, docs/ROADMAP.md). `init` is a NamedTuple whose [n]-leading
+    arrays are per-lane state and which has a bool `alive` field; scalar
+    fields continue through the sub-loop. Bit-transparent as long as every
+    sampling stream is keyed by per-pixel ids (utils/rng.py), never lane
+    position.
+
+    Fill slots get an OUT-OF-RANGE index: their gathers clip to garbage
+    (the lane is marked dead) and their scatters are dropped — an in-range
+    fill index would collide with a live lane and could overwrite its
+    update with a stale value (duplicate-scatter order is unspecified)."""
+    if n <= min_width:
+        return jax.lax.while_loop(cond, body, init)
+    m = n // frac
+
+    def cond1(s):
+        return cond(s) & (jnp.sum(s.alive.astype(jnp.int32)) > m)
+
+    s = jax.lax.while_loop(cond1, body, init)
+    idx = jnp.nonzero(s.alive, size=m, fill_value=n)[0]
+    live = idx < n
+
+    def take(a):
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
+            return jnp.take(a, idx, axis=0, mode="clip")
+        return a
+
+    cls = type(s)
+    sub = cls(*(take(f) for f in s))
+    sub = sub._replace(alive=sub.alive & live)
+    out = compacted_loop(cond, body, sub, m, min_width, frac)
+
+    def put(a, b):
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
+            return a.at[idx].set(b, mode="drop")
+        return b   # scalars continue from the sub-loop
+    return cls(*(put(a, b) for a, b in zip(s, out)))
+
+
+# ---------------------------------------------------------------------------
 # Sky (environment light) — disabled by default like the reference
 # ---------------------------------------------------------------------------
 

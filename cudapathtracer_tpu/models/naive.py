@@ -9,6 +9,7 @@ on every hit; fixed max depth.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -24,23 +25,41 @@ from cudapathtracer_tpu.utils.math import (EPSILON, RAY_EPSILON, length_sq,
 _D_BSDF = 0  # ..3
 
 
-@partial(jax.jit, static_argnames=("max_depth", "sample_environment"))
+class _State(NamedTuple):
+    depth: jax.Array       # scalar bounce counter (lockstep)
+    o: jax.Array
+    d: jax.Array
+    beta: jax.Array
+    li: jax.Array
+    alive: jax.Array
+    pid: jax.Array         # [N] stable pixel ids (rng *_id streams)
+    rays: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_depth", "sample_environment",
+                                   "compact_min_width"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
-                  max_depth: int, sample_environment: bool = False):
-    """Trace one sample for pixels (px, py) [N]; returns radiance [N,3]."""
+                  max_depth: int, sample_environment: bool = False,
+                  compact_min_width: int = 1 << 20):
+    """Trace one sample for pixels (px, py) [N]; returns radiance [N,3].
+
+    compact_min_width: bounce-level straggler compaction threshold
+    (common.compacted_loop, bit-transparent). Default OFF: measured
+    NEUTRAL-to-slightly-negative for this integrator on v5e (256^2
+    Cornell 9.69 Mrays/s off vs 9.19 on) — traversal already compacts
+    internally and naive shading is too cheap for dead lanes to matter.
+    Kept as a knob for deep-depth workloads."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
-    pid = rng.pixel_ids(px, py)
     o, d = camera.generate_rays(jax.random.fold_in(skey, 2 ** 20),
                                 px.astype(jnp.float32), py.astype(jnp.float32),
-                                ids=pid)
+                                ids=rng.pixel_ids(px, py))
 
     def cond(s):
-        depth, o, d, beta, li, alive, rays = s
-        return (depth < max_depth) & jnp.any(alive)
+        return (s.depth < max_depth) & jnp.any(s.alive)
 
     def body(s):
-        depth, o, d, beta, li, alive, rays = s
+        depth, o, d, beta, li, alive, pid, rays = s
         bkey = rng.bounce_key(skey, depth)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
@@ -56,7 +75,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         trans = bsdf_ops.resolve_transmission(scene, mat, info["uv"])
 
         # naive kernel passes etaI = etaT = 1 (deviceCode.cu:189)
-        eta_i = jnp.ones((n,), jnp.float32)
+        # (width = the CURRENT lane count — narrower after compaction)
+        eta_i = jnp.ones(alive.shape, jnp.float32)
         wo_local, f_val, pdf = bsdf_ops.bsdf_sample(
             bkey, _D_BSDF, mat, albedo, -wi_local, info["backface"], eta_i,
             ids=pid, transmission=trans)
@@ -77,10 +97,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         new_o = info["point"] + info["normal"] * (side * RAY_EPSILON)[:, None]
         o = jnp.where(alive2[:, None], new_o, o)
         d = jnp.where(alive2[:, None], wo_world, d)
-        return depth + 1, o, d, beta, li, alive2, rays
+        return _State(depth + 1, o, d, beta, li, alive2, pid, rays)
 
-    init = (jnp.int32(0), o, d, jnp.ones((n, 3), jnp.float32),
-            jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool),
-            jnp.int32(0))
-    _, _, _, _, li, _, rays = jax.lax.while_loop(cond, body, init)
-    return li, rays
+    init = _State(jnp.int32(0), o, d, jnp.ones((n, 3), jnp.float32),
+                  jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool),
+                  rng.pixel_ids(px, py), jnp.int32(0))
+    out = common.compacted_loop(cond, body, init, n, compact_min_width)
+    return out.li, out.rays

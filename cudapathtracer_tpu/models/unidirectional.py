@@ -58,40 +58,12 @@ _BOUNCE_COMPACT_FRAC = 4
 
 
 def _compacted_loop(cond, body, init: "_State", n: int, min_width: int):
-    """Bounce-level straggler compaction (mirrors ops/traverse.py
-    _compacted_while): run the bounce loop at full width only while the
-    live-path count exceeds n/FRAC, then gather survivors into a narrower
-    wavefront and recurse — dead lanes stop paying for shading, NEE and
-    RNG. Bit-transparent: all sampling is keyed by per-pixel ids
-    (utils/rng.py *_id streams), never by lane position."""
-    if n <= min_width:
-        return jax.lax.while_loop(cond, body, init)
-    m = n // _BOUNCE_COMPACT_FRAC
-
-    def cond1(s):
-        return cond(s) & (jnp.sum(s.alive.astype(jnp.int32)) > m)
-
-    s = jax.lax.while_loop(cond1, body, init)
-    # fill slots get an OUT-OF-RANGE index: their gathers clip to garbage
-    # (lane is marked dead) and their scatters are dropped — an in-range
-    # fill index would collide with a real live lane and could overwrite
-    # its update with a stale value (duplicate-scatter order is unspecified)
-    idx = jnp.nonzero(s.alive, size=m, fill_value=n)[0]
-    live = idx < n
-
-    def take(a):
-        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
-            return jnp.take(a, idx, axis=0, mode="clip")
-        return a
-    sub = _State(*(take(f) for f in s))
-    sub = sub._replace(alive=sub.alive & live)
-    out = _compacted_loop(cond, body, sub, m, min_width)
-
-    def put(a, b):
-        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
-            return a.at[idx].set(b, mode="drop")
-        return b   # scalars (rays, it) continue from the sub-loop
-    return _State(*(put(a, b) for a, b in zip(s, out)))
+    """Bounce-level straggler compaction (common.compacted_loop): dead
+    lanes stop paying for shading, NEE and RNG. Bit-transparent: all
+    sampling is keyed by per-pixel ids (utils/rng.py *_id streams),
+    never by lane position."""
+    return common.compacted_loop(cond, body, init, n, min_width,
+                                 frac=_BOUNCE_COMPACT_FRAC)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "use_mis",
