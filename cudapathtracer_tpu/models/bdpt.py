@@ -10,8 +10,11 @@ masked shadow traversal + pure VPU math.
 Strategy toggles / MIS / weight-painting mirror the reference's constant
 flags (deviceCode.cu:9-51): BDPT_LIGHTTRACE, BDPT_NEE, BDPT_NAIVE,
 BDPT_CONNECTION, BDPT_DOMIS, BDPT_PAINTWEIGHT — here static jit config.
-Environment (sky) endpoints are not implemented, matching the reference
-(deviceCode.cu:1541, 1558: "unimplemented").
+Environment (sky): the reference leaves its BDPT env branches unimplemented
+(deviceCode.cu:1541, 1558); this framework EXCEEDS that behind
+SAMPLE_ENVIRONMENT — an eye walk that escapes the scene picks up the sky
+radiance with MIS weight 1 (the sky is reachable only by escaping: no env
+NEE, no env light-path endpoints, so no competing strategy exists).
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from cudapathtracer_tpu.models import paths
+from cudapathtracer_tpu.models import common, paths
 from cudapathtracer_tpu.ops import bsdf as bsdf_ops
 from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.utils import rng
@@ -44,6 +47,7 @@ class BDPTConfig:
     connection: bool = True
     do_mis: bool = True
     paint_weight: bool = False
+    sample_environment: bool = False
 
     @staticmethod
     def from_config(cfg) -> "BDPTConfig":
@@ -52,7 +56,8 @@ class BDPTConfig:
             light_depth=max(cfg.bdpt_light_depth, 1),
             light_trace=cfg.bdpt_light_trace, nee=cfg.bdpt_nee,
             naive=cfg.bdpt_naive, connection=cfg.bdpt_connection,
-            do_mis=cfg.bdpt_do_mis, paint_weight=cfg.bdpt_paint_weight)
+            do_mis=cfg.bdpt_do_mis, paint_weight=cfg.bdpt_paint_weight,
+            sample_environment=cfg.sample_environment)
 
 
 def _weighted(contrib, weight, cfg: BDPTConfig):
@@ -246,10 +251,16 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         fb, rays_s = light_trace_splat(scene, camera, lbufs, lv0, cfg, fb)
 
     # --- eye pass ---
-    ebufs, ev0, rays_e = paths.generate_eye_path(scene, camera, key_e, px, py,
-                                                 cfg.eye_depth, ids=pid)
+    ebufs, ev0, esc, rays_e = paths.generate_eye_path(scene, camera, key_e,
+                                                      px, py, cfg.eye_depth,
+                                                      ids=pid)
 
     li = jnp.zeros((n, 3), jnp.float32)
+    if cfg.sample_environment:
+        # escape -> sky, MIS weight 1 (see module docstring)
+        sky = common.sample_sky(esc.d, True)
+        out = _weighted(esc.beta * sky, jnp.ones((n,), jnp.float32), cfg)
+        li = li + jnp.where(esc.valid[:, None], out, 0.0)
     rays_c = jnp.int32(0)
     plane_area = _plane_area(camera)
     num_lights = max(scene.num_lights, 1)

@@ -42,7 +42,8 @@ def _as_machine_cfg(cfg: BDPTConfig) -> VCMConfig:
         eye_depth=cfg.eye_depth, light_depth=cfg.light_depth,
         light_trace=cfg.light_trace, nee=cfg.nee, naive=cfg.naive,
         connection=cfg.connection, do_mis=cfg.do_mis,
-        do_merge=False, do_sppm=False, paint_weight=cfg.paint_weight)
+        do_merge=False, do_sppm=False, paint_weight=cfg.paint_weight,
+        sample_environment=cfg.sample_environment)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "chunk_pixels",

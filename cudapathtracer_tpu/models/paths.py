@@ -103,6 +103,18 @@ class PathBuffers(NamedTuple):
         return packing.unpack_flags(self.flags)[3]
 
 
+class Escape(NamedTuple):
+    """First scene miss along a walk (all [N...]): the surviving throughput
+    and direction of the ray that left the scene. Consumed by the
+    environment-light extension (the reference leaves its BDPT/VCM env
+    branches unimplemented, deviceCode.cu:1541/1558/2386; this framework
+    wires the escape through when SAMPLE_ENVIRONMENT is on — the sky is
+    reachable ONLY by escaping, so the contribution takes MIS weight 1)."""
+    valid: jax.Array   # [N] bool — the walk escaped the scene
+    d: jax.Array       # [N,3] escape direction
+    beta: jax.Array    # [N,3] throughput carried out of the scene
+
+
 class WalkStart(NamedTuple):
     """Endpoint state feeding the walk (all [N...])."""
     o: jax.Array              # ray origin
@@ -118,17 +130,24 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
                 transport_mode: int, eta_vcm=None, first_vm_seed=None,
                 ids=None):
     """Walk vertices 1..max_depth-1. Returns (PathBuffers [max_depth-1, N],
-    rays traced scalar). Vertex indices in the buffers are depth-1."""
+    Escape, rays traced scalar). Vertex indices in the buffers are
+    depth-1."""
     n = start.o.shape[0]
 
     def body(carry, depth):
-        (o, d, thr, prev_pdf_sa, prev_cos, prev_pt, mstate, alive, rays) = carry
+        (o, d, thr, prev_pdf_sa, prev_cos, prev_pt, mstate, alive, esc,
+         rays) = carry
         bkey = rng.bounce_key(key, depth)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         hit = traverse.closest_hit(scene, o, d, active=alive)
         info = traverse.interpolate_hit(scene, o, d, hit)
         reached = alive & hit.valid
+        # first miss of the walk (alive dies on a miss, so at most one)
+        missed = alive & ~hit.valid
+        esc = Escape(valid=esc.valid | missed,
+                     d=jnp.where(missed[:, None], d, esc.d),
+                     beta=jnp.where(missed[:, None], thr, esc.beta))
 
         normal = info["normal"]
         wo_local = to_local(d, normal)           # incoming dir, z < 0
@@ -183,16 +202,18 @@ def random_walk(scene, key, start: WalkStart, max_depth: int,
                   jnp.where(upd, info["point"], prev_pt),
                   jax.tree.map(lambda a2, a1: jnp.where(valid, a2, a1),
                                mstate2, mstate),
-                  valid, rays)
+                  valid, esc, rays)
         return carry2, out
 
     mstate0 = mis.MisState.zeros(n)
+    esc0 = Escape(valid=jnp.zeros((n,), bool),
+                  d=start.d, beta=start.throughput)
     carry0 = (start.o, start.d, start.throughput, start.prev_pdf_sa,
               start.prev_cos, start.prev_pt, mstate0,
-              jnp.ones((n,), bool), jnp.int32(0))
+              jnp.ones((n,), bool), esc0, jnp.int32(0))
     depths = jnp.arange(1, max_depth)
     carry, out = jax.lax.scan(body, carry0, depths)
-    return out, carry[-1]
+    return out, carry[-2], carry[-1]
 
 
 def start_eye_walk(scene, camera, key, px, py,
@@ -252,16 +273,17 @@ def start_light_walk(scene, key, n, ids=None) -> tuple[WalkStart, dict]:
 
 
 def generate_eye_path(scene, camera, key, px, py, max_depth: int, ids=None):
+    """Returns (bufs, v0, escape, rays) — escape feeds the env light."""
     start, v0 = start_eye_walk(scene, camera, key, px, py, ids)
-    bufs, rays = random_walk(scene, key, start, max_depth, TRANSPORT_RADIANCE,
-                             ids=ids)
-    return bufs, v0, rays
+    bufs, esc, rays = random_walk(scene, key, start, max_depth,
+                                  TRANSPORT_RADIANCE, ids=ids)
+    return bufs, v0, esc, rays
 
 
 def generate_light_path(scene, key, n, max_depth: int, eta_vcm=None,
                         first_vm_seed=None, ids=None):
     start, v0 = start_light_walk(scene, key, n, ids)
-    bufs, rays = random_walk(scene, key, start, max_depth,
-                             TRANSPORT_IMPORTANCE, eta_vcm, first_vm_seed,
-                             ids=ids)
+    bufs, _esc, rays = random_walk(scene, key, start, max_depth,
+                                   TRANSPORT_IMPORTANCE, eta_vcm,
+                                   first_vm_seed, ids=ids)
     return bufs, v0, rays

@@ -60,6 +60,7 @@ class VCMConfig:
     merge_alpha: float = 0.7           # "VCM Merge Radius Power Factor"
     r0_multiplier: float = 0.01        # "VCM Initial Merge Radius Multiplier"
     max_per_cell: int = 8              # bounded-gather cap (see module doc)
+    sample_environment: bool = False   # escape -> sky, weight 1 (bdpt.py doc)
 
     @staticmethod
     def from_config(cfg) -> "VCMConfig":
@@ -71,7 +72,8 @@ class VCMConfig:
             do_mis=cfg.bdpt_do_mis, do_merge=cfg.vcm_do_merge,
             do_sppm=cfg.do_sppm, paint_weight=cfg.bdpt_paint_weight,
             merge_alpha=cfg.vcm_merge_const or 0.7,
-            r0_multiplier=cfg.vcm_initial_merge_radius_multiplier or 0.01)
+            r0_multiplier=cfg.vcm_initial_merge_radius_multiplier or 0.01,
+            sample_environment=cfg.sample_environment)
 
 
 def _clamp_firefly(c):
@@ -166,7 +168,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # ---- light pass ----
     start, lv0 = paths.start_light_walk(scene, key_l, n, ids=pid)
     first_vm_seed = start.first_vc_scale / jnp.maximum(eta_vcm, 1e-30)
-    lbufs, lrays = paths.random_walk(
+    lbufs, _lesc, lrays = paths.random_walk(
         scene, key_l, start, cfg.light_depth + 1, 1,  # TRANSPORT_IMPORTANCE
         eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid)
 
@@ -199,6 +201,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         hit = traverse.closest_hit(scene, o, d, active=alive)
         info = traverse.interpolate_hit(scene, o, d, hit)
         reached = alive & hit.valid
+        if cfg.sample_environment:
+            # escape -> sky, MIS weight 1 (models/bdpt.py module doc)
+            missed = alive & ~hit.valid
+            out = _weighted(thr * common.sample_sky(d, True),
+                            jnp.ones((n,), jnp.float32), cfg)
+            colorsum = colorsum + jnp.where(missed[:, None], out, 0.0)
 
         normal = info["normal"]
         pos = info["point"]

@@ -522,7 +522,14 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                                u=ts.u, v=ts.v)
             info, mat = lm.shade_dataT(scene, s.o, s.d, hit)
             reached = cl_done & hit.valid
-            dead = dead | (cl_done & ~hit.valid)  # no env endpoints (2386)
+            missed = cl_done & ~hit.valid
+            dead = dead | missed
+            if cfg.sample_environment:
+                # escape -> sky, MIS weight 1 (models/bdpt.py module doc);
+                # the reference leaves env endpoints unimplemented (2386)
+                out = _weightedT(thr * lm.sample_skyT(s.d, True),
+                                 jnp.ones_like(s.cur_u), cfg)
+                li = li + jnp.where(missed[None, :], out, 0.0)
             did = ids3(gpid, depth)
             ones = jnp.ones_like(cur_u)
 
@@ -945,7 +952,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         start, _lv0 = paths.start_light_walk(scene, key_l, c_pix,
                                              ids=pid_g)
         first_vm_seed = start.first_vc_scale / jnp.maximum(eta_vcm, 1e-30)
-        lbufs, lrays = paths.random_walk(
+        lbufs, _lesc, lrays = paths.random_walk(
             scene, key_l, start, cfg.light_depth + 1, 1,
             eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid_g)
         # mask padded lanes' paths out of every consumer

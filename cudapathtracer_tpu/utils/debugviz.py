@@ -100,7 +100,7 @@ def bdpt_path_overlay(scene, camera, key, px, py, eye_depth: int,
     pxs = jnp.asarray(np.asarray(px)[sel])
     pys = jnp.asarray(np.asarray(py)[sel])
     ids = rng_mod.pixel_ids(pxs, pys)
-    bufs, v0, _rays = paths_mod.generate_eye_path(
+    bufs, v0, _esc, _rays = paths_mod.generate_eye_path(
         scene, camera, key, pxs, pys, max_depth=eye_depth, ids=ids)
 
     overlay = make_overlay(camera.width, camera.height)

@@ -73,7 +73,7 @@ def test_debug_print_path(capsys):
     scene, _ = build_scene(builtin.cornell_with_blocks(), builtin_materials())
     cam = make_cam()
     px, py = jnp.meshgrid(jnp.arange(4), jnp.arange(4))
-    bufs, v0, _ = paths.generate_eye_path(scene, cam, rng.base_key(),
+    bufs, v0, _esc, _ = paths.generate_eye_path(scene, cam, rng.base_key(),
                                           px.ravel(), py.ravel(), 4)
     out = debugviz.debug_print_path(bufs, lane=5)
     assert "pt=" in out and "beta=" in out

@@ -60,3 +60,40 @@ def test_env_on_all_integrators_agree_on_miss():
     # (py grows along +v = camera up, camera.py:94)
     img = a.reshape(SIZE, SIZE, 3)
     assert img[-1, :, 2].mean() > img[0, :, 2].mean()
+
+
+def test_env_bdpt_vcm_escape():
+    """BDPT/VCM env endpoints (EXCEEDS the reference, which leaves them
+    unimplemented — deviceCode.cu:1541/1558/2386): an eye walk that escapes
+    picks up the sky with MIS weight 1. BDPT and VCM share the eye-walk key
+    stream (key_e + 2^20), so their miss-scene images are identical; the
+    mega engines agree up to the RGB9E5 retirement quantum."""
+    from cudapathtracer_tpu.models import bdpt, bdpt_mega, vcm, vcm_mega
+
+    scene, cam, px, py = _miss_scene()
+    key = rng.base_key()
+    bcfg = bdpt.BDPTConfig(eye_depth=3, light_depth=2,
+                           sample_environment=True)
+    li_b, _ = bdpt.render_sample(scene, cam, key, 0, px, py, cfg=bcfg)
+    a = np.asarray(li_b)
+    assert np.isfinite(a).all() and (a.max(axis=-1) > 0).all()
+
+    # off -> black (matches the reference's disabled sky)
+    li_off, _ = bdpt.render_sample(
+        scene, cam, key, 0, px, py,
+        cfg=bdpt.BDPTConfig(eye_depth=3, light_depth=2))
+    assert float(jnp.abs(li_off).max()) == 0.0
+
+    vcfg = vcm.VCMConfig(eye_depth=3, light_depth=2,
+                         sample_environment=True)
+    li_v, _ = vcm.render_sample(scene, cam, key, 0, px, py, cfg=vcfg)
+    np.testing.assert_allclose(a, np.asarray(li_v), atol=1e-6)
+
+    li_bm, _ = bdpt_mega.render_sample(scene, cam, key, 0, px, py, cfg=bcfg,
+                                       width=16, grid_w=SIZE)
+    np.testing.assert_allclose(a, np.asarray(li_bm), atol=2.5e-3)
+
+    li_vm, _ = vcm_mega.render_sample(scene, cam, key, 0, px, py, cfg=vcfg,
+                                      width=16, grid_w=SIZE)
+    np.testing.assert_allclose(np.asarray(li_v), np.asarray(li_vm),
+                               atol=2.5e-3)

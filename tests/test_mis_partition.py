@@ -52,7 +52,7 @@ def _partition_sums(scene, camera, key, px, py):
     whose eye walk realizes camera->floor->light, and how many there are."""
     n = px.shape[0]
     pid = rng.pixel_ids(px, py)
-    ebufs, ev0, _ = paths.generate_eye_path(scene, camera, key, px, py, 3,
+    ebufs, ev0, _esc, _ = paths.generate_eye_path(scene, camera, key, px, py, 3,
                                             ids=pid)
     ones = jnp.ones((n,), jnp.float32)
 
