@@ -19,17 +19,21 @@ from cudapathtracer_tpu.scene import builtin
 from cudapathtracer_tpu.scene.materials import builtin_materials
 from cudapathtracer_tpu.scene.scene import build_scene
 
-N = 103680
-REPS = 10
+import os as _os
+N = int(_os.environ.get("SB_N", "103680"))
+REPS = int(_os.environ.get("SB_REPS", "10"))
 
 
 def timeit(fn, *args):
+    # fn must return ONE small array/scalar; float() readback is the only
+    # trustworthy barrier through the axon tunnel (docs/ROADMAP.md), and a
+    # scalar keeps the per-rep transfer negligible
     out = fn(*args)
-    jax.block_until_ready(out)
+    base = float(jnp.asarray(out).astype(jnp.float32).sum())
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _ = float(jnp.asarray(out).astype(jnp.float32).sum()) - base
     return (time.perf_counter() - t0) / REPS
 
 
@@ -53,7 +57,11 @@ def main():
         fstep = t8.make_fused_step(scene)
         for _ in range(n):
             ts = fstep(ts, o, d, inv_d, skip, is_shadow)
-        return ts
+        # scalar summary over every register so nothing is DCE'd
+        return (ts.t_cut.sum() + ts.tri.sum() + ts.top.sum()
+                + ts.flag.sum() + ts.stack.sum() + ts.scale.sum()
+                + ts.u.sum() + ts.v.sum() + ts.direct.sum()
+                + ts.lostc.sum())
 
     base = None
     for n in (1, 4, 12, 24):
@@ -74,9 +82,13 @@ def main():
                 ts = fstep(ts, o, d, inv_d, skip, is_shadow)
             return i + 1, ts
 
-        return jax.lax.while_loop(lambda c: c[0] < iters, body, (0, ts))
+        _, ts = jax.lax.while_loop(lambda c: c[0] < iters, body, (0, ts))
+        return (ts.t_cut.sum() + ts.tri.sum() + ts.top.sum()
+                + ts.flag.sum() + ts.stack.sum() + ts.scale.sum()
+                + ts.u.sum() + ts.v.sum() + ts.direct.sum()
+                + ts.lostc.sum())
 
-    for spi, iters in ((12, 2), (12, 8)):
+    for spi, iters in ((12, 8), (12, 64), (12, 128)):
         dt = timeit(run_while, scene, ts0, o, d, inv_d, skip, is_shadow,
                     jnp.int32(iters), spi)
         tot = spi * iters
