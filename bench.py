@@ -5,15 +5,23 @@ Emits ONE JSON line per benchmark: every BASELINE.md config (1: 512^2
 Cornell, 2: specular spheres, 3: 1080p Cornell+mesh, 4: NEE+GGX, 5:
 multi-chip dryrun stand-in) and every integrator (naive/uni/mega/BDPT/
 VCM/SPPM) at a fixed small workload — so round-over-round regressions are
-visible for all of them. The HEADLINE line (mega-wavefront unidirectional,
-1080p Cornell+mesh — BASELINE config 3) is printed LAST so tail parsers
-pick it up.
+visible for all of them.
+
+Harness discipline (round-3 redesign after BENCH_r02 rc=124 lost the
+headline): every line is EMITTED THE MOMENT IT IS MEASURED, the HEADLINE
+(mega-wavefront unidirectional, 1080p Cornell+mesh — BASELINE config 3)
+is measured and emitted FIRST, the whole run works under a wall-clock
+deadline (--deadline-s) that skips remaining lines instead of dying, each
+line is exception-contained, and the headline is RE-EMITTED as the final
+line so tail parsers pick it up. Exit code is 0 whenever the headline was
+captured.
 
 The reference publishes no numbers (BASELINE.md: "published": {}), so
 vs_baseline is reported against this repo's self-imposed target of
 TARGET_MRAYS on one chip — the driver records the absolute value per round.
 
-Usage: python bench.py [--small] [--spp N] [--headline-only] [--skip-suite-slow]
+Usage: python bench.py [--small] [--spp N] [--headline-only]
+                       [--skip-suite-slow] [--deadline-s S]
 """
 
 from __future__ import annotations
@@ -24,12 +32,19 @@ import os
 import subprocess
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 TARGET_MRAYS = 100.0  # self-imposed round-over-round target (no published ref)
+
+_T0 = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T0
 
 
 def _emit(result):
@@ -90,29 +105,25 @@ def _time_samples(step, spp, warmup=1, inner=None, ctx=None, batch=1):
     return dt, int(rtot), img
 
 
-def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
-               extra=None, batch=1, best_of=1):
-    from cudapathtracer_tpu.models import unidirectional_mega
+def bench_inner(inner, ctx, spp, metric, *, extra=None, batch=1, best_of=1):
+    """Time an explicit-arg per-sample step `inner(scene,cam,key,s,px,py)`
+    over best_of windows and return the fastest window's line.
 
-    def inner(sc, c, k, s, ipx, ipy):
-        return unidirectional_mega.render_sample(
-            sc, c, k, s, ipx, ipy, max_depth=max_depth,
-            width=min(width, int(ipx.shape[0])), grid_w=c.width)
-
-    # The shared remote-TPU tunnel's delivered throughput swings 2-3x hour
-    # to hour (docs/ROADMAP.md measurement notes): the same committed code
-    # measured 10.9 and 5.0 Mrays/s on different days. A throughput metric
-    # should report what the DEVICE can do, not how congested the tunnel
-    # happened to be, so with best_of > 1 the samples run in best_of
-    # windows and the fastest window is reported (per-window spp/rays stay
-    # identical — same compiled executable, same workload).
+    The shared remote-TPU tunnel's delivered throughput swings 2-3x hour
+    to hour (docs/ROADMAP.md measurement notes): the same committed code
+    measured 10.9 and 5.0 Mrays/s on different days. A throughput metric
+    should report what the DEVICE can do, not how congested the tunnel
+    happened to be, so with best_of > 1 the samples run in best_of
+    windows and the fastest window is reported (per-window spp/rays stay
+    identical — same compiled executable, same workload)."""
+    scene, cam, key, px, py = ctx
     dt_sum = 0.0
     rays_sum = 0
     best = None
     for wdw in range(max(best_of, 1)):
         dt, rays, _ = _time_samples(
             lambda s: inner(scene, cam, key, s, px, py), spp, inner=inner,
-            warmup=1 + wdw * spp, ctx=(scene, cam, key, px, py), batch=batch)
+            warmup=1 + wdw * spp, ctx=ctx, batch=batch)
         dt_sum += dt
         rays_sum += rays
         if best is None or rays / dt > best[0] / best[1]:
@@ -132,7 +143,54 @@ def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
     return result
 
 
-def run_suite(args, key):
+def bench_mega(scene, cam, key, px, py, spp, width, metric, *, max_depth=8,
+               extra=None, batch=1, best_of=1):
+    from cudapathtracer_tpu.models import unidirectional_mega
+
+    def inner(sc, c, k, s, ipx, ipy):
+        return unidirectional_mega.render_sample(
+            sc, c, k, s, ipx, ipy, max_depth=max_depth,
+            width=min(width, int(ipx.shape[0])), grid_w=c.width)
+
+    return bench_inner(inner, (scene, cam, key, px, py), spp, metric,
+                       extra=extra, batch=batch, best_of=best_of)
+
+
+class Deadline:
+    """Wall-clock budget tracker: lines are skipped (and counted) once the
+    budget is spent, instead of the process dying mid-suite."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+        self.skipped = []
+
+    def remaining(self):
+        return self.seconds - _elapsed()
+
+    def allow(self, name, est_s=120.0):
+        """True if `name` (estimated cost est_s) still fits the budget."""
+        if self.remaining() >= est_s:
+            return True
+        self.skipped.append(name)
+        return False
+
+
+def _guarded(deadline, name, est_s, fn):
+    """Run one bench line under the deadline with exception containment;
+    emits the line on success, a bench-error line on failure."""
+    if not deadline.allow(name, est_s):
+        return
+    try:
+        result = fn()
+        if result is not None:
+            _emit(result)
+    except Exception as e:  # one bad line must not kill the suite
+        traceback.print_exc(file=sys.stderr)
+        _emit({"metric": name, "value": 0, "unit": "error",
+               "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"})
+
+
+def run_suite(args, key, deadline):
     from cudapathtracer_tpu.models import (bdpt, naive, unidirectional,
                                            unidirectional_mega, vcm)
     from cudapathtracer_tpu.scene import builtin
@@ -145,27 +203,35 @@ def run_suite(args, key):
     # floor + per-sample readback dominate; batch samples into one
     # dispatch (bit-identical — tests/test_batch.py)
     batch = args.batch if args.batch > 0 else min(args.spp, 4)
+    suite_bo = max(args.best_of, 1)
 
     # ---- BASELINE config 1: Cornell box, Lambertian + area light, 512^2
     scene, _ = build_scene(builtin.cornell_with_blocks(), mats)
     w = h = 512
     cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
     px, py = _grid(w, h)
-    _emit(bench_mega(scene, cam, key, px, py, args.spp, args.width,
-                     "config1 Cornell 512x512 mega", batch=batch))
+    _guarded(deadline, "config1 Cornell 512x512 mega", 90, lambda:
+             bench_mega(scene, cam, key, px, py, args.spp, args.width,
+                        "config1 Cornell 512x512 mega", batch=batch,
+                        best_of=suite_bo))
 
     # ---- BASELINE config 2: specular (mirror + dielectric), 512^2
-    scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
-    _emit(bench_mega(scene2, cam, key, px, py, args.spp, args.width,
-                     "config2 specular mirror+glass 512x512 mega",
-                     batch=batch))
+    def line_config2():
+        scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
+        return bench_mega(scene2, cam, key, px, py, args.spp, args.width,
+                          "config2 specular mirror+glass 512x512 mega",
+                          batch=batch, best_of=suite_bo)
+    _guarded(deadline, "config2 specular mirror+glass 512x512 mega", 90,
+             line_config2)
 
     # ---- BASELINE config 4: NEE + GGX microfacet with MIS, 512^2
-    mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
-    scene4, _ = build_scene(mesh4, mats)
-    _emit(bench_mega(scene4, cam, key, px, py, args.spp, args.width,
-                     f"config4 NEE+GGX steel mesh({mesh4.num_triangles}) "
-                     "512x512 mega", batch=batch))
+    def line_config4():
+        mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
+        scene4, _ = build_scene(mesh4, mats)
+        return bench_mega(scene4, cam, key, px, py, args.spp, args.width,
+                          f"config4 NEE+GGX steel mesh({mesh4.num_triangles})"
+                          " 512x512 mega", batch=batch, best_of=suite_bo)
+    _guarded(deadline, "config4 NEE+GGX 512x512 mega", 90, line_config4)
 
     # ---- per-integrator small workload: 256^2 Cornell, fixed depths
     ws = hs = 256
@@ -173,24 +239,19 @@ def run_suite(args, key):
     pxs, pys = _grid(ws, hs)
     spp_s = max(args.spp // 2, 1)
 
-    def emit_integrator(name, inner):
-        dt, rays, _ = _time_samples(
-            lambda s: inner(scene, cam_s, key, s, pxs, pys), spp_s,
-            inner=inner, ctx=(scene, cam_s, key, pxs, pys),
-            batch=min(batch, spp_s))
-        mrays = rays / dt / 1e6
-        _emit({"metric": f"integrator {name} 256x256 Cornell",
-               "value": round(mrays, 3), "unit": "Mrays/s",
-               "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-               "spp_per_s": round(spp_s / dt, 4), "rays": rays,
-               "seconds": round(dt, 3)})
+    def integrator_line(name, inner, est_s=90):
+        _guarded(deadline, f"integrator {name} 256x256 Cornell", est_s,
+                 lambda: bench_inner(
+                     inner, (scene, cam_s, key, pxs, pys), spp_s,
+                     f"integrator {name} 256x256 Cornell",
+                     batch=min(batch, spp_s), best_of=suite_bo))
 
-    emit_integrator("naive", lambda sc, c, k, s, px, py: naive.render_sample(
-        sc, c, k, s, px, py, max_depth=6))
-    emit_integrator("unidirectional-classic",
+    integrator_line("naive", lambda sc, c, k, s, px, py:
+                    naive.render_sample(sc, c, k, s, px, py, max_depth=6))
+    integrator_line("unidirectional-classic",
                     lambda sc, c, k, s, px, py: unidirectional.render_sample(
                         sc, c, k, s, px, py, max_depth=6))
-    emit_integrator("unidirectional-mega",
+    integrator_line("unidirectional-mega",
                     lambda sc, c, k, s, px, py:
                     unidirectional_mega.render_sample(
                         sc, c, k, s, px, py, max_depth=6,
@@ -198,41 +259,43 @@ def run_suite(args, key):
                         grid_w=ws))
     if not args.skip_suite_slow:
         bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
-        emit_integrator("bdpt", lambda sc, c, k, s, px, py:
+        integrator_line("bdpt", lambda sc, c, k, s, px, py:
                         bdpt.render_sample(sc, c, k, s, px, py, cfg=bcfg))
         from cudapathtracer_tpu.models import bdpt_mega
-        emit_integrator("bdpt-mega", lambda sc, c, k, s, px, py:
+        integrator_line("bdpt-mega", lambda sc, c, k, s, px, py:
                         bdpt_mega.render_sample(
                             sc, c, k, s, px, py, cfg=bcfg,
                             width=min(args.width, int(px.shape[0])),
-                            grid_w=ws))
+                            grid_w=ws), est_s=150)
         vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
-        emit_integrator("vcm", lambda sc, c, k, s, px, py:
-                        vcm.render_sample(sc, c, k, s, px, py, cfg=vcfg))
+        integrator_line("vcm", lambda sc, c, k, s, px, py:
+                        vcm.render_sample(sc, c, k, s, px, py, cfg=vcfg),
+                        est_s=120)
         from cudapathtracer_tpu.models import vcm_mega
-        emit_integrator("vcm-mega", lambda sc, c, k, s, px, py:
+        integrator_line("vcm-mega", lambda sc, c, k, s, px, py:
                         vcm_mega.render_sample(
                             sc, c, k, s, px, py, cfg=vcfg,
                             width=min(args.width, int(px.shape[0])),
-                            grid_w=ws))
+                            grid_w=ws), est_s=180)
         scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
                              nee=False, naive=False, connection=False,
                              do_mis=False, do_sppm=True)
-        emit_integrator("sppm", lambda sc, c, k, s, px, py:
-                        vcm.render_sample(sc, c, k, s, px, py, cfg=scfg))
-        # NOTE: an sppm-mega line was tried and REVERTED: the merge-only
-        # static config compiles >10 min on the TPU toolchain (vs ~1 min
-        # for the full-VCM config) and would stall the suite; the driver
-        # SPPM+mega path itself is covered by tests/test_vcm_mega.py.
+        integrator_line("sppm", lambda sc, c, k, s, px, py:
+                        vcm.render_sample(sc, c, k, s, px, py, cfg=scfg),
+                        est_s=120)
+        integrator_line("sppm-mega", lambda sc, c, k, s, px, py:
+                        vcm_mega.render_sample(
+                            sc, c, k, s, px, py, cfg=scfg,
+                            width=min(args.width, int(px.shape[0])),
+                            grid_w=ws), est_s=180)
 
     # ---- config6: the reference's SHIPPED workload (configs/config.
     # rendertron:3-28 — 800x800 VCM, eye depth 16, light depth 10) on the
     # persistent mega engine, spp-normalized
-    if not args.skip_suite_slow:
+    def line_config6():
         from cudapathtracer_tpu.models import vcm_mega
         wr = hr = 800
-        cam_r = Camera.pinhole((0.0, 0.0, 1.0), wr, hr, 0.0, 0.0, 0.0,
-                               60.0)
+        cam_r = Camera.pinhole((0.0, 0.0, 1.0), wr, hr, 0.0, 0.0, 0.0, 60.0)
         pxr, pyr = _grid(wr, hr)
         vcfg_r = vcm.VCMConfig(eye_depth=16, light_depth=10)
         spp_r = max(args.spp // 2, 1)
@@ -241,26 +304,33 @@ def run_suite(args, key):
                                              pyr, cfg=vcfg_r, grid_w=wr),
             spp_r)
         mrays = rays / dt / 1e6
-        _emit({"metric": "config6 reference-shipped VCM 800x800 "
-                         "eye16/light10 mega",
-               "value": round(mrays, 3), "unit": "Mrays/s",
-               "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-               "spp_per_s": round(spp_r / dt, 4), "rays": rays,
-               "seconds": round(dt, 3)})
+        return {"metric": "config6 reference-shipped VCM 800x800 "
+                          "eye16/light10 mega",
+                "value": round(mrays, 3), "unit": "Mrays/s",
+                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+                "spp_per_s": round(spp_r / dt, 4), "rays": rays,
+                "seconds": round(dt, 3),
+                "s_per_sample": round(dt / spp_r, 2)}
+    if not args.skip_suite_slow:
+        _guarded(deadline, "config6 reference-shipped VCM 800x800", 240,
+                 line_config6)
 
     # ---- BASELINE config 5: multi-chip — virtual 8-device CPU mesh dryrun
     # (correctness stand-in; real multi-chip hardware is not attached)
-    t0 = time.perf_counter()
-    r = subprocess.run(
-        [sys.executable, "-c",
-         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        capture_output=True, timeout=1200)
-    _emit({"metric": "config5 multichip dryrun 8-device virtual mesh",
-           "value": 8 if r.returncode == 0 else 0, "unit": "devices_ok",
-           "vs_baseline": 1.0 if r.returncode == 0 else 0.0,
-           "seconds": round(time.perf_counter() - t0, 1)})
+    def line_config5():
+        t0 = time.perf_counter()
+        budget = max(min(deadline.remaining() - 30, 1200), 60)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            capture_output=True, timeout=budget)
+        return {"metric": "config5 multichip dryrun 8-device virtual mesh",
+                "value": 8 if r.returncode == 0 else 0, "unit": "devices_ok",
+                "vs_baseline": 1.0 if r.returncode == 0 else 0.0,
+                "seconds": round(time.perf_counter() - t0, 1)}
+    _guarded(deadline, "config5 multichip dryrun", 120, line_config5)
 
 
 def main():
@@ -279,14 +349,20 @@ def main():
                          "(models/unidirectional_mega.MEGA_WIDTH, the v5e "
                          "sweep optimum)")
     ap.add_argument("--best-of", type=int, default=3,
-                    help="headline timing windows; the fastest is reported "
+                    help="timing windows per line; the fastest is reported "
                          "(guards against shared-tunnel congestion — the "
                          "same code measures 2-3x apart hour to hour)")
     ap.add_argument("--batch", type=int, default=0,
                     help="samples per device dispatch for the suite lines "
                          "(0 = auto: min(spp, 4)); amortizes the ~24 ms "
                          "tunnel dispatch floor at small frames")
+    ap.add_argument("--deadline-s", type=float,
+                    default=float(os.environ.get("BENCH_DEADLINE_S", 1200)),
+                    help="wall-clock budget; once spent, remaining suite "
+                         "lines are skipped (not errors) and the run still "
+                         "exits 0 with the headline captured")
     args = ap.parse_args()
+    deadline = Deadline(args.deadline_s)
 
     # pay the remote-tunnel first-transfer initialization outside the timers
     _ = float(jnp.zeros((8,)).sum())
@@ -301,9 +377,10 @@ def main():
     key = rng.base_key()
 
     # ---- headline: BASELINE config 3 (1080p Cornell + mesh) ----
-    # Measured FIRST (fresh device/tunnel state — the suite's dozens of
-    # compiled executables degrade a subsequent headline run by ~30%),
-    # but PRINTED LAST so tail parsers pick it up.
+    # Measured first (fresh device/tunnel state — the suite's dozens of
+    # compiled executables degrade a subsequent headline run by ~30%) AND
+    # emitted first (so a later timeout can never lose it), then re-emitted
+    # as the final line for tail parsers.
     if args.small:
         w, h, subdiv = 256, 256, 4
     else:
@@ -358,11 +435,19 @@ def main():
 
     result["scene_build_s"] = round(t_scene, 3)
     result["device"] = str(jax.devices()[0])
+    _emit(result)  # the round's north-star number: out the door immediately
 
     if not (args.small or args.headline_only):
-        run_suite(args, key)
+        run_suite(args, key, deadline)
 
-    _emit(result)
+    # re-emit the headline as the FINAL line so tail parsers (the driver
+    # records the last JSON line) see the north-star metric
+    final = dict(result)
+    final["reemit"] = True
+    if deadline.skipped:
+        final["suite_skipped"] = deadline.skipped
+    final["bench_wall_s"] = round(_elapsed(), 1)
+    _emit(final)
     return 0
 
 

@@ -197,9 +197,15 @@ class Renderer:
                         scene, camera, key, sample_idx, px, py,
                         cfg=vcfg, grid_w=cfg.width)
                 return inner
+            count_drop = vcfg.do_merge
+
             def inner(scene, camera, key, sample_idx, px, py):
+                # merge-cap observability: the extra scalar counts photons
+                # truncated by max_per_cell (accumulated by the render
+                # loop into metrics.merge_dropped)
                 return vcm_mod.render_sample(
-                    scene, camera, key, sample_idx, px, py, cfg=vcfg)
+                    scene, camera, key, sample_idx, px, py, cfg=vcfg,
+                    count_merge_dropped=count_drop)
             return inner
         raise ValueError(f"integrator {integ} not wired")
 
@@ -223,16 +229,19 @@ class Renderer:
 
         last_save = time.monotonic()
         rtot = jnp.zeros((), jnp.int32)  # device-side; fetched only on saves
+        dtot = jnp.zeros((), jnp.int32)  # merge-cap dropped photons (VCM)
         with self.metrics.phase("render"):
             while self.sample_count < total:
                 k = min(spd, total - self.sample_count)
                 if k > 1:
-                    li, rays = batched(self.scene, self.camera, self.key,
-                                       self.sample_count, self.px, self.py,
-                                       k)
+                    out = batched(self.scene, self.camera, self.key,
+                                  self.sample_count, self.px, self.py, k)
                 else:
-                    li, rays = inner(self.scene, self.camera, self.key,
-                                     self.sample_count, self.px, self.py)
+                    out = inner(self.scene, self.camera, self.key,
+                                self.sample_count, self.px, self.py)
+                li, rays = out[0], out[1]
+                if len(out) > 2:
+                    dtot = dtot + out[2]
                 self.accum = self.accum + li
                 rtot = rtot + rays
                 self.sample_count += k
@@ -249,6 +258,14 @@ class Renderer:
                     if verbose:
                         print(f"saved progress at {self.sample_count} samples")
             self.metrics.add_rays(int(rtot))
+            dropped = int(dtot)
+            if dropped:
+                self.metrics.merge_dropped = dropped
+                if verbose:
+                    print(f"WARNING: photon merge cap truncated {dropped:,} "
+                          f"candidate photons (max_per_cell="
+                          f"{getattr(cfg, 'vcm_max_per_cell', 8)}); "
+                          "raise the cap if caustics look dim")
         return self.finish()
 
     # ------------------------------------------------------------------

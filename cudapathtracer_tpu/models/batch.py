@@ -34,24 +34,31 @@ def make_batched(inner):
     """Wrap a per-sample integrator step into a k-sample single dispatch.
 
     inner(scene, camera, base_key, sample_idx, px, py) -> (li [P,3], rays)
-    with sample_idx traced (every shipped integrator satisfies this).
+    — optionally with extra trailing scalar i32 counters (e.g. the VCM
+    merge-cap dropped count), which accumulate across the batch — with
+    sample_idx traced (every shipped integrator satisfies this).
 
     Returns batched(scene, camera, base_key, s0, px, py, k) ->
-    (li_sum [P,3], rays_total) accumulating samples s0 .. s0+k-1. The
-    start index s0 is traced, so consecutive batches reuse one
-    executable; only distinct k values recompile.
+    (li_sum [P,3], rays_total, *counter_totals) accumulating samples
+    s0 .. s0+k-1. The start index s0 is traced, so consecutive batches
+    reuse one executable; only distinct k values recompile.
     """
     @partial(jax.jit, static_argnames=("k",))
     def batched(scene, camera, base_key, s0, px, py, k: int):
         s0 = jnp.asarray(s0, jnp.int32)
 
         def body(i, carry):
-            acc, rtot = carry
-            li, rays = inner(scene, camera, base_key, s0 + i, px, py)
-            return acc + li, rtot + jnp.asarray(rays, jnp.int32)
+            acc = carry[0]
+            out = inner(scene, camera, base_key, s0 + i, px, py)
+            counters = tuple(c + jnp.asarray(o, jnp.int32)
+                             for c, o in zip(carry[1:], out[1:]))
+            return (acc + out[0],) + counters
 
+        # abstract trace only (no ops added); cached per jit specialization
+        n_counters = len(jax.eval_shape(
+            lambda *a: inner(*a), scene, camera, base_key, s0, px, py)) - 1
         acc0 = jnp.zeros((px.shape[0], 3), jnp.float32)
-        rtot0 = jnp.zeros((), jnp.int32)
-        return lax.fori_loop(0, k, body, (acc0, rtot0))
+        zeros = tuple(jnp.zeros((), jnp.int32) for _ in range(n_counters))
+        return lax.fori_loop(0, k, body, (acc0,) + zeros)
 
     return batched

@@ -144,12 +144,21 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
     return fb, rays
 
 
-@partial(jax.jit, static_argnames=("cfg", "splat_shape"))
+@partial(jax.jit, static_argnames=("cfg", "splat_shape",
+                                   "count_merge_dropped"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
-                  cfg: VCMConfig, splat_shape: int | None = None):
+                  cfg: VCMConfig, splat_shape: int | None = None,
+                  count_merge_dropped: bool = False):
     """One progressive VCM/SPPM sample -> (radiance [N,3], rays); with
     splat_shape set, (li_local [N,3], splat [splat_shape,3], rays) for
-    tile sharding (see models/bdpt.py render_sample)."""
+    tile sharding (see models/bdpt.py render_sample).
+
+    count_merge_dropped appends a scalar i32 counter to the outputs: the
+    number of candidate photons the static max_per_cell cap truncated out
+    of the merge this sample (upper bound on in-range photons silently
+    dropped — the reference visits every photon in a cell unboundedly,
+    deviceCode.cu:2968-3048). The driver surfaces it so the cap is chosen
+    from data instead of silence."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -194,7 +203,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
     def body(carry, depth):
         (o, d, thr, prev_pdf_sa, prev_cos, prev_pt, mstate, alive, prev_delta,
-         colorsum, rays) = carry
+         colorsum, rays, dropped) = carry
         bkey = rng.bounce_key(key_e, depth)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
@@ -374,9 +383,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 out = _weighted(contrib, weight, cfg)
                 return colorsum + jnp.where(in_range[:, None], out, 0.0)
 
-            colorsum = hashgrid.fold_neighbors(
-                grid, pos, mr, cfg.max_per_cell, merge_fold, colorsum,
-                active=conn)
+            if count_merge_dropped:
+                colorsum, drop_b = hashgrid.fold_neighbors(
+                    grid, pos, mr, cfg.max_per_cell, merge_fold, colorsum,
+                    active=conn, count_dropped=True)
+                dropped = dropped + drop_b
+            else:
+                colorsum = hashgrid.fold_neighbors(
+                    grid, pos, mr, cfg.max_per_cell, merge_fold, colorsum,
+                    active=conn)
 
         # ---- continue the walk / SPPM first-surface break
         new_thr = thr * f_val * (jnp.abs(wi_local[..., 2])
@@ -399,17 +414,19 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   jax.tree.map(lambda a2, a1: jnp.where(valid, a2, a1),
                                mstate2, mstate),
                   keep, jnp.where(reached, cur_delta, prev_delta),
-                  colorsum, rays)
+                  colorsum, rays, dropped)
         return carry2, None
 
     carry0 = (estart.o, estart.d, estart.throughput, estart.prev_pdf_sa,
               estart.prev_cos, estart.prev_pt, mis.MisState.zeros(n),
               jnp.ones((n,), bool), jnp.ones((n,), bool),
-              jnp.zeros((n, 3), jnp.float32), jnp.int32(0))
+              jnp.zeros((n, 3), jnp.float32), jnp.int32(0), jnp.int32(0))
     carry, _ = jax.lax.scan(body, carry0, jnp.arange(cfg.eye_depth))
-    colorsum, erays = carry[-2], carry[-1]
+    colorsum, erays, dropped = carry[-3], carry[-2], carry[-1]
 
     rays = lrays + rays_s + erays
-    if splat_shape is not None:
-        return colorsum, fb, rays
-    return colorsum + fb, rays
+    out = ((colorsum, fb, rays) if splat_shape is not None
+           else (colorsum + fb, rays))
+    if count_merge_dropped:
+        return out + (dropped,)
+    return out

@@ -147,15 +147,27 @@ def gather_neighbors(grid: PhotonGrid, query_pos, merge_radius,
 
 
 def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
-                   max_per_cell: int, fold, init, active=None):
+                   max_per_cell: int, fold, init, active=None,
+                   count_dropped: bool = False):
     """Rolled-control-flow variant of gather_neighbors: scan over the 8
     corner cells with an inner fori over slots, folding
     fold(carry, packed photon_row [N,8], in_range [N]) -> carry.
 
-    Identical candidate set and runtime cost to the generator form, but the
-    fold body compiles ONCE instead of 8*max_per_cell times — inside the VCM
-    eye-pass scan that is the difference between minutes and seconds of
-    compile time.
+    Identical candidate set to the generator form, but the fold body
+    compiles ONCE instead of 8*max_per_cell times (inside the VCM eye-pass
+    scan that is the difference between minutes and seconds of compile
+    time), and each cell's slots are fetched with ONE batched gather —
+    faster than the generator's per-slot gathers (a [rows]-gather costs
+    ~18 us fixed + ~7.3 ns/row on v5e, so k separate gathers paid the
+    fixed cost k times).
+
+    With count_dropped=True returns (carry, dropped) where dropped is the
+    total number of candidate photons the static max_per_cell cap
+    truncated away across all active queries — an upper bound on in-range
+    photons silently dropped (the reference's merge visits every photon in
+    a cell unboundedly, deviceCode.cu:2968-3048; the cap is our
+    static-shape concession, and this counter makes it observable instead
+    of silent).
     """
     n = query_pos.shape[0]
     if active is None:
@@ -165,7 +177,8 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     frac = (query_pos - grid.scene_min) / grid.cell_size - base
     step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
 
-    def cell_body(carry, c):
+    def cell_body(carry_drop, c):
+        carry, dropped = carry_drop
         off = jnp.stack([step[:, 0] * ((c >> 0) & 1),
                          step[:, 1] * ((c >> 1) & 1),
                          step[:, 2] * ((c >> 2) & 1)], axis=-1)
@@ -173,11 +186,13 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
         start = grid.cell_start[h]
         count = jnp.maximum(grid.cell_end[h] - start, 0)
 
-        # ONE gather for all max_per_cell slots of this cell (measured: a
-        # [rows]-gather costs ~18 us fixed + ~7.3 ns/row on v5e, so k
-        # separate per-slot gathers paid the fixed cost k times — ~40% of
-        # the shipped 800^2 VCM workload's merge stage). Candidate set,
-        # slot order and masking are identical to the per-slot form.
+        # ONE gather for all max_per_cell slots of this cell. Candidate
+        # set, slot order and masking are identical to the per-slot form.
+        # NOTE HBM footprint: rows_k materializes [max_per_cell, n, 8] f32
+        # per scanned cell (~K*n*32 B, e.g. ~164 MB at n=800^2 with cap 8)
+        # — a measured win at shipped configs (and the compacted merge
+        # keeps n at the sub-wavefront width), but chunk the queries if
+        # max_per_cell or the query batch grows much beyond that.
         ks = jnp.arange(max_per_cell, dtype=jnp.int32)
         slot_ok = active[None, :] & (ks[:, None] < count[None, :])  # [K,N]
         i = jnp.where(slot_ok, start[None, :] + ks[:, None], 0)
@@ -194,9 +209,17 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
             return fold(carry, row, valid_slot & (d2 <= r2))
 
         carry = jax.lax.fori_loop(0, max_per_cell, slot_body, carry)
-        return carry, None
+        if count_dropped:
+            over = jnp.where(active,
+                             jnp.maximum(count - max_per_cell, 0), 0)
+            dropped = dropped + jnp.sum(over)
+        return (carry, dropped), None
 
-    carry, _ = jax.lax.scan(cell_body, init, jnp.arange(8, dtype=jnp.int32))
+    (carry, dropped), _ = jax.lax.scan(
+        cell_body, (init, jnp.zeros((), jnp.int32)),
+        jnp.arange(8, dtype=jnp.int32))
+    if count_dropped:
+        return carry, dropped
     return carry
 
 

@@ -18,6 +18,9 @@ class RenderMetrics:
     rays_traced: int = 0
     samples_done: int = 0
     pixels: int = 0
+    # photons truncated by the VCM merge's static max_per_cell cap (upper
+    # bound on in-range photons dropped); None = integrator doesn't count
+    merge_dropped: int | None = None
 
     @contextmanager
     def phase(self, name: str):
@@ -49,4 +52,7 @@ class RenderMetrics:
         lines.append(f"  rays traced: {self.rays_traced:,}")
         lines.append(f"  Mrays/s: {self.mrays_per_sec:.2f}")
         lines.append(f"  spp/s: {self.spp_per_sec:.3f}")
+        if self.merge_dropped is not None:
+            lines.append(f"  merge-cap dropped photons: "
+                         f"{self.merge_dropped:,}")
         return "\n".join(lines)

@@ -60,6 +60,49 @@ def test_hashgrid_neighbor_completeness():
     np.testing.assert_array_equal(count, want)
 
 
+def test_merge_cap_drop_counter_fires():
+    """'No silent caps': a cluster denser than max_per_cell must be
+    reported by fold_neighbors(count_dropped=True) — exactly the photons
+    the static cap truncated (reference visits cells unboundedly,
+    deviceCode.cu:2968-3048)."""
+    p = 64
+    pos = jnp.zeros((p, 3), jnp.float32)  # all photons in one cell
+    rows = hashgrid.pack_photons(pos, jnp.zeros((p, 3)), jnp.ones((p, 3)),
+                                 jnp.zeros((p,)), jnp.zeros((p,)))
+    r = 0.1
+    grid = hashgrid.build_grid(rows, jnp.ones((p,), bool),
+                               jnp.asarray([-1.0, -1.0, -1.0]), r,
+                               hashgrid.photon_table_size(p))
+    q = jnp.zeros((4, 3), jnp.float32)
+    cap = 8
+    fold = lambda c, row, in_range: c + jnp.sum(in_range.astype(jnp.int32))
+    folded, dropped = hashgrid.fold_neighbors(
+        grid, q, r, cap, fold, jnp.int32(0), count_dropped=True)
+    # every query visits the cluster's cell once among its 8 corner cells:
+    # folds cap photons, drops p - cap
+    assert int(folded) == 4 * cap
+    assert int(dropped) == 4 * (p - cap)
+    # counter silent when the cap is not binding
+    folded2, dropped2 = hashgrid.fold_neighbors(
+        grid, q, r, p, fold, jnp.int32(0), count_dropped=True)
+    assert int(folded2) == 4 * p and int(dropped2) == 0
+
+
+def test_vcm_render_sample_reports_dropped(setup):
+    """The driver-facing counter: a tiny cap on the Cornell scene must
+    fire; the image is unchanged by counting."""
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=4, light_depth=4, max_per_cell=1,
+                        r0_multiplier=0.05)
+    li, rays, dropped = vcm.render_sample(scene, cam, key, 0, px, py,
+                                          cfg=cfg, count_merge_dropped=True)
+    li2, rays2 = vcm.render_sample(scene, cam, key, 0, px, py, cfg=cfg)
+    assert int(dropped) > 0
+    assert int(rays) == int(rays2)
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(li2))
+
+
 def test_vcm_agrees_with_unidirectional(setup):
     cfg = vcm.VCMConfig(eye_depth=6, light_depth=5, max_per_cell=8)
     v = rend(setup, vcm.render_sample, 48, cfg=cfg)
