@@ -5,6 +5,8 @@ from cudapathtracer_tpu.scene import bvh as bvh_mod
 from cudapathtracer_tpu.scene.builtin import bunny_stand_in, cornell_with_blocks
 from cudapathtracer_tpu.scene.native import native_available
 
+pytestmark = pytest.mark.smoke
+
 
 def make_tris(n=500, seed=0):
     rs = np.random.RandomState(seed)

@@ -3,6 +3,8 @@ import pytest
 
 from cudapathtracer_tpu.utils import checks
 
+pytestmark = pytest.mark.smoke
+
 
 def test_checks_disabled_by_default():
     log = checks.CheckLog()

@@ -3,8 +3,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.smoke
 def test_cli_end_to_end(tmp_path):
     """Render a tiny frame through the actual CLI entry point."""
     cfg = tmp_path / "t.rendertron"

@@ -1,6 +1,9 @@
+import pytest
 import textwrap
 
 from cudapathtracer_tpu.utils.config import parse_config, match_integrator
+
+pytestmark = pytest.mark.smoke
 
 REFERENCE_CONFIG = textwrap.dedent("""
     Name: render

@@ -46,6 +46,7 @@ def test_progressive_save_and_bmp_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "t0.csv"))
 
 
+@pytest.mark.smoke
 def test_checkpoint_resume_exact(tmp_path):
     """Resume must reproduce the uninterrupted render bit-for-bit — the
     capability the reference lacks (SURVEY.md §5.4)."""

@@ -50,11 +50,13 @@ def _check(setup, fn, golden_name):
     assert err < 1e-3, f"golden drift vs {golden_name}: rmse={err:.2e}"
 
 
+@pytest.mark.smoke
 def test_golden_unidirectional(setup):
     _check(setup, lambda sc, c, k, s, px, py: unidirectional.render_sample(
         sc, c, k, s, px, py, max_depth=6), "cornell_uni_16x16_8spp.npy")
 
 
+@pytest.mark.smoke
 def test_golden_mega(setup):
     """The persistent mega-wavefront integrator is a different (equally
     valid) noise realization than the classic — it has its OWN golden, and
@@ -66,18 +68,21 @@ def test_golden_mega(setup):
                "cornell_mega_16x16_8spp.npy")
 
 
+@pytest.mark.smoke
 def test_golden_bdpt(setup):
     cfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
     _check(setup, lambda sc, c, k, s, px, py: bdpt.render_sample(
         sc, c, k, s, px, py, cfg=cfg), "cornell_bdpt_16x16_8spp.npy")
 
 
+@pytest.mark.smoke
 def test_golden_vcm(setup):
     cfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
     _check(setup, lambda sc, c, k, s, px, py: vcm.render_sample(
         sc, c, k, s, px, py, cfg=cfg), "cornell_vcm_16x16_8spp.npy")
 
 
+@pytest.mark.smoke
 def test_golden_sppm(setup):
     cfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
                         nee=False, naive=False, connection=False,

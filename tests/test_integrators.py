@@ -45,6 +45,7 @@ def test_furnace_closed_box():
     np.testing.assert_allclose(img, expected, rtol=2e-3)
 
 
+@pytest.mark.smoke
 def test_reproducible_bitwise():
     """Threefry keying makes renders bit-identical across runs
     (BASELINE.json north star)."""
@@ -64,6 +65,7 @@ def test_seed_changes_image():
     assert np.abs(a - b).max() > 0
 
 
+@pytest.mark.smoke
 def test_no_nan_inf_negative():
     """The reference's NaN=magenta/Inf=green/neg=blue sentinels as a real
     assertion (SURVEY.md §4)."""

@@ -5,6 +5,8 @@ import pytest
 from cudapathtracer_tpu.utils import math as vm
 from cudapathtracer_tpu.utils import packing
 
+pytestmark = pytest.mark.smoke
+
 
 def rand_unit(n, seed=0):
     r = np.random.RandomState(seed).normal(size=(n, 3))

@@ -18,6 +18,7 @@ def setup():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.smoke
 def test_tile_sharded_render(setup):
     scene, cam = setup
     mesh = sharding.make_mesh(n_tile=8, n_spp=1)
@@ -70,6 +71,7 @@ def test_graft_entry_single():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.smoke
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

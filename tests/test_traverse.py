@@ -7,6 +7,8 @@ from cudapathtracer_tpu.scene.builtin import cornell_with_blocks, cornell_with_s
 from cudapathtracer_tpu.scene.materials import builtin_materials
 from cudapathtracer_tpu.scene.scene import build_scene
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def scene():

@@ -34,6 +34,7 @@ def rend(setup, fn, spp, **kw):
     return acc / spp
 
 
+@pytest.mark.smoke
 def test_hashgrid_neighbor_completeness():
     """Unit test from SURVEY.md §4: the grid must return exactly the photons
     within r of the query (up to the static per-cell cap)."""
@@ -60,6 +61,7 @@ def test_hashgrid_neighbor_completeness():
     np.testing.assert_array_equal(count, want)
 
 
+@pytest.mark.smoke
 def test_merge_cap_drop_counter_fires():
     """'No silent caps': a cluster denser than max_per_cell must be
     reported by fold_neighbors(count_dropped=True) — exactly the photons
