@@ -145,10 +145,11 @@ def vcm_light_splat(scene, camera, lbufs, cfg, eta_vcm, fb):
 
 
 @partial(jax.jit, static_argnames=("cfg", "splat_shape",
-                                   "count_merge_dropped"))
+                                   "count_merge_dropped", "photon_axis"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   cfg: VCMConfig, splat_shape: int | None = None,
-                  count_merge_dropped: bool = False):
+                  count_merge_dropped: bool = False,
+                  photon_axis: str | None = None):
     """One progressive VCM/SPPM sample -> (radiance [N,3], rays); with
     splat_shape set, (li_local [N,3], splat [splat_shape,3], rays) for
     tile sharding (see models/bdpt.py render_sample).
@@ -158,7 +159,17 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     of the merge this sample (upper bound on in-range photons silently
     dropped — the reference visits every photon in a cell unboundedly,
     deviceCode.cu:2968-3048). The driver surfaces it so the cap is chosen
-    from data instead of silence."""
+    from data instead of silence.
+
+    photon_axis (tile-sharded VCM with merging; SURVEY §5.8 "all-gather for
+    photon maps if the light pass is sharded"): the name of the shard_map
+    mesh axis the pixel block is sharded over. Each shard's packed 32-B
+    photon rows are all-gathered over that axis (tiled, so the union lands
+    in global pixel order), the hash grid is built per shard on the UNION,
+    and eta_vcm / the merge normalization use the GLOBAL path count — the
+    TPU-native equivalent of the reference's single shared photon grid
+    every thread reads (deviceCode.cu:3359). Only valid inside shard_map;
+    combine with splat_shape for the light-trace splat."""
     n = px.shape[0]
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -172,7 +183,10 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     r0 = scene.scene_radius * cfg.r0_multiplier
     mr = merge_radius(r0, jnp.asarray(sample_idx, jnp.float32),
                       cfg.merge_alpha)
-    eta_vcm = n * PI * mr * mr
+    # the estimator is normalized by the TOTAL light-path count: under
+    # photon_axis sharding that is n per shard times the axis size
+    n_paths = n * (jax.lax.psum(1, photon_axis) if photon_axis else 1)
+    eta_vcm = n_paths * PI * mr * mr
 
     # ---- light pass ----
     start, lv0 = paths.start_light_walk(scene, key_l, n, ids=pid)
@@ -194,6 +208,14 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         rows = hashgrid.pack_photons(flat(lbufs.pt), flat(lbufs.wo),
                                      flat(lbufs.beta),
                                      flat(lbufs.d_vcm), flat(lbufs.d_vm))
+        if photon_axis:
+            # photon exchange over ICI: the packed rows are small
+            # (light_depth+1 per path x 32 B), so a tiled all-gather of
+            # rows + validity builds every shard the same global grid
+            rows = jax.lax.all_gather(rows, photon_axis, axis=0,
+                                      tiled=True)
+            pmask = jax.lax.all_gather(pmask, photon_axis, axis=0,
+                                       tiled=True)
         table = hashgrid.photon_table_size(rows.shape[0])
         grid = hashgrid.build_grid(rows, pmask, scene.node_bounds[0, 0:3],
                                    mr, table)
@@ -360,7 +382,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         # ---- merge (deviceCode.cu:2968-3048) — folded over the neighborhood
         if cfg.do_merge:
-            merge_norm = 1.0 / (PI * mr * mr * n)
+            merge_norm = 1.0 / (PI * mr * mr * n_paths)
             eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
 
             def merge_fold(colorsum, row, in_range):

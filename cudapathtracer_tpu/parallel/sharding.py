@@ -23,6 +23,14 @@ scatter-add + psum across shards") and every shard keeps its own tile
 slice. Because all integrator RNG streams are keyed by pixel id (layout
 independent), the tile-sharded image equals the single-chip image up to
 scatter-order float addition (tested in tests/test_sharding.py).
+
+VCM with merging under tile sharding additionally needs the PHOTON
+exchange (SURVEY §5.8): pass `photon_axis="tile"` through to
+vcm.render_sample — each shard all-gathers the packed 32-B photon rows
+over the tile axis, builds the hash grid on the union, and normalizes by
+the global path count, reproducing the reference's single shared photon
+grid (deviceCode.cu:3359) across chips. Tested against the single-chip
+render in tests/test_sharding.py::test_tile_sharded_vcm_merge.
 """
 
 from __future__ import annotations

@@ -139,6 +139,78 @@ def test_tile_sharded_vcm_splat_finite(setup):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_vcm_merge(setup):
+    """FULL VCM (merge ON) under tile sharding must reproduce the
+    single-chip render: photons are all-gathered over the tile axis
+    (photon_axis), the grid is built per shard on the union, and
+    eta_vcm / merge normalization use the global path count. Tolerance is
+    float-summation order only (the gathered photon rows concatenate
+    shard-major instead of depth-major, so within-cell fold order
+    differs); max_per_cell is large enough that the cap never binds and
+    the candidate SET is identical."""
+    import jax.numpy as jnp
+
+    from cudapathtracer_tpu.models import vcm
+    from cudapathtracer_tpu.utils import rng
+
+    scene, cam = setup
+    cfg = vcm.VCMConfig(eye_depth=4, light_depth=3, do_merge=True,
+                        max_per_cell=64, r0_multiplier=0.05)
+    mesh = sharding.make_mesh(n_tile=8, n_spp=1)
+    acc_s, done, rays_s = sharding.render_sharded(
+        vcm.render_sample, mesh, scene, cam, 16, 16, 1, splat=True,
+        cfg=cfg, photon_axis="tile")
+    assert done == 1 and rays_s > 0
+
+    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(16))
+    key = rng.base_key()
+    li, rays_u = vcm.render_sample(scene, cam, key, 0, px.ravel(),
+                                   py.ravel(), cfg=cfg)
+    acc_u = np.asarray(li)
+    assert int(rays_s) == int(rays_u)
+    np.testing.assert_allclose(acc_s, acc_u, rtol=2e-4, atol=2e-5)
+    assert acc_u.mean() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_shard_ray_counts_balance(setup):
+    """Multi-chip scaling evidence (BASELINE config 5 correctness side):
+    the same frame on an 8-device tile mesh does the same total work as
+    single-chip, spread evenly — per-device traced-ray counts stay within
+    2x of each other on the Cornell frame (contiguous pixel rows of a
+    mostly-covered view), so no chip serializes the render."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cudapathtracer_tpu.utils import rng
+
+    scene, cam = setup
+    mesh = sharding.make_mesh(n_tile=8, n_spp=1)
+    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(16))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+
+    def per_shard(scene_r, cam_r, pxs, pys):
+        li, rays = unidirectional.render_sample(scene_r, cam_r, key, 0,
+                                                pxs, pys, max_depth=4)
+        return li, rays[None]
+
+    li_s, rays_per = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(sharding.replicated_specs(scene),
+                  sharding.replicated_specs(cam), P("tile"), P("tile")),
+        out_specs=(P("tile"), P("tile")), check_vma=False,
+    ))(scene, cam, px, py)
+    counts = np.asarray(rays_per)
+    assert counts.shape == (8,) and (counts > 0).all()
+    assert counts.max() / counts.min() < 2.0
+    # total work matches the single-chip render exactly (same RNG streams)
+    _, rays_u = unidirectional.render_sample(scene, cam, key, 0, px, py,
+                                             max_depth=4)
+    assert int(counts.sum()) == int(rays_u)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_tile_sharded_mega_engine(setup):
     """The persistent mega-wavefront engine (the production headline path)
     runs under the tile x spp mesh: each shard drives its own lane machine
