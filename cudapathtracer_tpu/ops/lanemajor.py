@@ -128,7 +128,7 @@ def shade_dataT(scene, oT, dT, hit):
     Lane-major port of ops/traverse.shade_data (row layout documented at
     scene/scene.py:_pack_shade_rows); oT/dT are [3,N]."""
     tic = jnp.maximum(hit.tri, 0)
-    rowT = scene.tri_shade_row[tic].T                    # THE gather [64,N]
+    rowT = scene.tri_shade_row[tic].T                    # THE gather [48,N]
     w0 = 1.0 - hit.u - hit.v
     n = (rowT[0:3] * w0[None, :] + rowT[3:6] * hit.u[None, :]
          + rowT[6:9] * hit.v[None, :])

@@ -33,10 +33,15 @@ class Scene:
     tri_light: jax.Array    # [T] i32, -1 = not a light
     tri_area: jax.Array     # [T] f32
 
-    # --- BVH (threaded, 8 octants) ---
-    node_bounds: jax.Array  # [M, 6] f32
-    node_leaf: jax.Array    # [M, 2] i32 (first, count)
-    node_links: jax.Array   # [M*8, 2] i32, row = node*8 + octant
+    # --- BVH root bounds row [1, 6] f32 (min xyz, max xyz). Device
+    # consumers only ever need the ROOT AABB (hash-grid scene_min,
+    # models/vcm*.py); both traversal engines read their own packed tables
+    # (node_packed / bvh8_table), so uploading the full [M,6]/[M,2]/[M*8,2]
+    # node arrays was ~9 MB of dead transfer weight at 82k tris. The full
+    # host-side arrays remain on the returned bvh object for stats/tests.
+    node_bounds: jax.Array  # [1, 6] f32 (root row)
+    node_leaf: jax.Array    # [1, 2] i32 sentinel (host data: bvh.leaf)
+    node_links: jax.Array   # [1, 2] i32 sentinel (host data: bvh.links)
 
     # --- packed traversal table: ONE wide row gather per traversal step.
     # Row layout (float32, ints bitcast):
@@ -66,8 +71,10 @@ class Scene:
     #   [28:31] k  [31] ior  [32] transmission  [33] is_specular
     #   [34] boundary  [35] thin_walled  [36:39] absorption  [39] priority
     #   [40:43] tex start/w/h  [43:46] trans_tex start/w/h  [46] tri area
-    #   [47:64] pad
-    tri_shade_row: jax.Array  # [T, 64] f32
+    #   [47] pad (width 48 = the used 47 columns rounded to a multiple of
+    #   8; the row was 64 with 17 pad floats — 5 MB of dead transfer at
+    #   82k tris)
+    tri_shade_row: jax.Array  # [T, 48] f32
 
     # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
     bvh8_table: jax.Array   # [R, W] f32
@@ -239,9 +246,9 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         tri_emission=f32(tri_emission),
         tri_light=np.asarray(tri_light, np.int32),
         tri_area=f32(area),
-        node_bounds=f32(bvh.bounds),
-        node_leaf=np.asarray(bvh.leaf),
-        node_links=np.asarray(bvh.links.reshape(-1, 2)),
+        node_bounds=f32(bvh.bounds[0:1]),
+        node_leaf=np.zeros((1, 2), np.int32),
+        node_links=np.zeros((1, 2), np.int32),
         node_packed=f32(node_packed),
         tri_shadow=f32(tri_shadow),
         tri_shade_row=f32(tri_shade_row),
@@ -301,7 +308,7 @@ def _pack_shade_rows(table, tri_n, tri_uv, tri_emission, tri_light,
                      tri_mat, tri_area) -> np.ndarray:
     """Build Scene.tri_shade_row (see the field comment for the layout)."""
     t = tri_mat.shape[0]
-    row = np.zeros((t, 64), np.float32)
+    row = np.zeros((t, 48), np.float32)
     iv = lambda a: np.asarray(a, np.int32).view(np.float32)
     m = tri_mat
     g = lambda name: np.asarray(getattr(table, name))[m]
