@@ -1,4 +1,5 @@
-// Native BVH8 collapse: binary SAH tree -> sibling-contiguous CBVH table.
+// Native BVH8 collapse: binary SAH tree -> sibling-contiguous CBVH table
+// with HYBRID rows (inline leaf absorption).
 //
 // Exact ports of the two Python reference implementations in scene/bvh8.py
 // — greedy largest-surface-area expansion (policy 0) and the
@@ -9,10 +10,12 @@
 // 4 s scene build, mostly here); these ports precompute subtree triangle
 // ranges in O(M) and emit rows in C — sub-10 ms at that size.
 //
-// The table layout is documented in scene/bvh8.py; the reference's
-// structural counterpart is the per-thread binary BVH walk
-// (integratorUtilities.cuh:84-186) whose build-time analogue is
-// main.cu:133-233.
+// The hybrid table layout (every row = child stage + up to leaf_tris
+// inline triangles; emission-time exact knapsack absorbs the
+// highest-area small children into the parent's inline slots) is
+// documented in scene/bvh8.py; the reference's structural counterpart is
+// the per-thread binary BVH walk (integratorUtilities.cuh:84-186) whose
+// build-time analogue is main.cu:133-233.
 //
 // Build: part of libtpt_native.so (see scene/native.py).
 
@@ -25,7 +28,8 @@
 
 namespace {
 
-constexpr int32_t kLeafBit = 1 << 30;
+constexpr int32_t kLeafBit = 1 << 30;  // per-TRIANGLE id flag (MAT_LEAF)
+constexpr int kTriOff = 50;            // scene/bvh8.py TRI_OFF
 
 inline float surf_area(const float* b) {
   float dx = std::max(b[3] - b[0], 0.0f);
@@ -182,44 +186,102 @@ int tpt_bvh8_collapse(const int32_t* left, const int32_t* right,
       }
     }
 
-    if (cursor + nc > max_rows || my_row >= max_rows) return -1;
-    const int base = cursor;
-    cursor += nc;
-    ++n_nodes8;
+    // ---- hybrid absorption: exact knapsack over the small children.
+    // Mirrors bvh8._knapsack_inline bit-for-bit: `small` lists child
+    // indices in order, subsets enumerate by increasing bitmask, area
+    // accumulates in float32 in index order, strict > keeps the first
+    // best.
+    int small_idx[8];
+    int n_small = 0;
+    for (int i = 0; i < nc; ++i) {
+      const int c = children[i];
+      if (rhi[c] - rlo[c] <= LT) small_idx[n_small++] = i;
+    }
+    int absorb_mask = 0;  // over child indices
+    if (n_small > 0) {
+      float best_a = 0.0f;
+      int best_mask = 0;
+      for (int mask = 1; mask < (1 << n_small); ++mask) {
+        int w = 0;
+        float a = 0.0f;
+        for (int j = 0; j < n_small; ++j) {
+          if (mask >> j & 1) {
+            const int c = children[small_idx[j]];
+            w += rhi[c] - rlo[c];
+            a = a + surf_area(bounds + 6 * c);
+          }
+        }
+        if (w <= LT && a > best_a) {
+          best_a = a;
+          best_mask = mask;
+        }
+      }
+      for (int j = 0; j < n_small; ++j)
+        if (best_mask >> j & 1) absorb_mask |= 1 << small_idx[j];
+    }
 
     float* row = table + static_cast<int64_t>(my_row) * RW;
     std::memset(row, 0, sizeof(float) * RW);
     for (int j = 0; j < 48; ++j) row[j] = kInf;  // empty slots: never hit
-    int32_t leaf_mask = 0;
+    int32_t ids[8];
+    for (int k = 0; k < LT; ++k) ids[k] = -1;
+    int n_inline = 0;
+
+    int kept[8];
+    int n_kept = 0;
     for (int i = 0; i < nc; ++i) {
-      const int c = children[i];
+      if (absorb_mask >> i & 1) {
+        const int c = children[i];
+        for (int t = rlo[c]; t < rhi[c]; ++t) {
+          std::memcpy(row + kTriOff + 9 * n_inline,
+                      tri_pack + static_cast<int64_t>(t) * 9,
+                      9 * sizeof(float));
+          int32_t tid = t;
+          if (tri_leaf_mat[t]) tid |= kLeafBit;
+          ids[n_inline++] = tid;
+        }
+      } else {
+        kept[n_kept++] = i;
+      }
+    }
+    std::memcpy(row + kTriOff + 9 * LT, ids, LT * sizeof(int32_t));
+
+    if (cursor + n_kept > max_rows || my_row >= max_rows) return -1;
+    const int base = cursor;
+    cursor += n_kept;
+    ++n_nodes8;
+
+    for (int slot = 0; slot < n_kept; ++slot) {
+      const int c = children[kept[slot]];
       const float* bb = bounds + 6 * c;
       for (int ax = 0; ax < 3; ++ax) {
-        row[ax * 8 + i] = bb[ax];
-        row[(3 + ax) * 8 + i] = bb[3 + ax];
+        row[ax * 8 + slot] = bb[ax];
+        row[(3 + ax) * 8 + slot] = bb[3 + ax];
       }
       const int s = rlo[c], e = rhi[c];
       if (e - s > LT) {
-        stack.emplace_back(c, base + i);
+        stack.emplace_back(c, base + slot);
       } else {
-        leaf_mask |= 1 << i;
         ++n_leaves8;
-        float* lrow = table + static_cast<int64_t>(base + i) * RW;
+        float* lrow = table + static_cast<int64_t>(base + slot) * RW;
         std::memset(lrow, 0, sizeof(float) * RW);
-        int32_t ids[8];
-        for (int k = 0; k < LT; ++k) ids[k] = -1;
+        for (int j = 0; j < 48; ++j) lrow[j] = kInf;  // no children
+        int32_t lids[8];
+        for (int k = 0; k < LT; ++k) lids[k] = -1;
         for (int k = 0; k < e - s; ++k) {
-          std::memcpy(lrow + 9 * k, tri_pack + static_cast<int64_t>(s + k) * 9,
+          std::memcpy(lrow + kTriOff + 9 * k,
+                      tri_pack + static_cast<int64_t>(s + k) * 9,
                       9 * sizeof(float));
           int32_t tid = s + k;
           if (tri_leaf_mat[s + k]) tid |= kLeafBit;
-          ids[k] = tid;
+          lids[k] = tid;
         }
-        std::memcpy(lrow + 9 * LT, ids, LT * sizeof(int32_t));
+        std::memcpy(lrow + kTriOff + 9 * LT, lids, LT * sizeof(int32_t));
       }
     }
+    const int32_t zero = 0;
     std::memcpy(row + 48, &base, sizeof(int32_t));
-    std::memcpy(row + 49, &leaf_mask, sizeof(int32_t));
+    std::memcpy(row + 49, &zero, sizeof(int32_t));
   }
 
   counts_out[0] = n_nodes8;

@@ -70,8 +70,13 @@ _D_RR = 8
 # Same-hour 1080p sweep (2026-08, packed-u32 retirement): spi=8/mini=8
 # raised busy 64% -> 75% over spi=16/mini=16 (9.4 -> 9.7+ Mrays/s);
 # spi=12 loses (9.07), spi=16/w=25920 ties at busy 59.6%.
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "8"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
+# Round-3 re-sweep after HYBRID BVH8 rows (inline leaf absorption cut
+# rows/ray ~23%, so traversals drain sooner and want a faster transition
+# cadence): spi 8/6/5/4 -> 9.46/11.16/10.92/10.67 at w=12960; width
+# resweep at spi=6: 7776/9720/12960/16200 -> 11.35/11.67/11.16/10.51.
+# New defaults spi=6/mini=6/w=9720 (same-hour baseline was 9.35).
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "6"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
 # Default lane count of the persistent machine. Measured on v5e (1080p
 # Cornell+mesh sweep, 2026-08): full-frame lanes (2M) ride the pixel queue
 # with huge idle drain tails — 5.4 Mrays/s; ~52k lanes with the dynamic
@@ -79,8 +84,9 @@ MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
 # 18 steps/ray but runs 846 iterations vs 713 — more host dispatches).
 # Width never changes the image (RNG keyed by global pixel id).
 # 1080p same-hour sweep with fused retirement + KSLOTS_FACTOR=1:
-# w=51840: 6.5, 25920: 7.4, 12960: 7.86, 6480: 7.38 Mrays/s -> 12960.
-MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
+# w=51840: 6.5, 25920: 7.4, 12960: 7.86, 6480: 7.38 Mrays/s -> 12960;
+# re-swept to 9720 with hybrid BVH8 rows (see STEPS_PER_ITER note).
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "9720"))
 # Retire-slot capacity factor: k_slots = factor*gens + 8. Any factor >= 1
 # is exact (all lanes slot-full while queue pixels remain is impossible:
 # W*(gens+8) > gens*W = queue length, so some lane always has a free slot

@@ -1,12 +1,15 @@
 """BVH8 wavefront traversal with a vectorized per-lane stack — LANE-MAJOR.
 
 Companion engine to ops/traverse.py (threaded binary): each while-loop step
-pops ONE entry per lane, gathers ONE unified row (scene/bvh8.py CBVH
-layout: sibling rows contiguous, child = base + slot), and either
-slab-tests all 8 children at once (inner row — a single packed int key per
-child is distance-sorted with an odd-even network; the nearest is entered
-directly, the rest pushed far->near) or Möller-Trumbore-tests the inline
-leaf triangles (leaf row).
+pops ONE entry per lane, gathers ONE unified HYBRID row (scene/bvh8.py
+CBVH layout: sibling rows contiguous, child = base + slot) and runs BOTH
+stages on it: slab-test the (up to 8) children at once — a single packed
+int key per child is distance-sorted with an odd-even network; the nearest
+is entered directly, the rest pushed far->near — and Möller-Trumbore-test
+the row's (up to leaf_tris) INLINE triangles. Small subtrees live inline
+in their parent's row (emission-time knapsack, scene/bvh8.py), so most
+leaf visits cost zero extra steps; a pure leaf row is just a row with no
+children. There is no leaf bit: every traversal entry is a plain row id.
 
 LAYOUT: everything per-lane rides the 128-wide TPU lane dimension — the
 wavefront axis N is the MINOR axis of every multi-row array (stack [D,N],
@@ -87,11 +90,12 @@ def _sort8_keys(ks):
     return ks
 
 
-def _node_stage(rowT, oT, inv_dT, t_cut, is_node):
-    """Ordered CBVH node stage on the transposed row [64,N]: slab-test all
-    8 children ([3,8,N] math — full lanes), sort a single packed key
-    (tmin bits | leaf flag | slot) per slot, reconstruct child rows as
-    child_base + slot. Returns (direct — nearest hit child entry or -1;
+def _node_stage(rowT, oT, inv_dT, t_cut, active):
+    """Ordered CBVH child stage on the transposed row: slab-test all 8
+    child slots ([3,8,N] math — full lanes), sort a single packed key
+    (tmin bits | slot) per slot, reconstruct child rows as
+    child_base + slot. Empty/absorbed slots carry +inf degenerate boxes
+    and never hit. Returns (direct — nearest hit child row or -1;
     deferred — 7 near-first deferred [N] entries; count [N])."""
     n = rowT.shape[1]
     b = rowT[0:48].reshape(6, 8, n)
@@ -101,28 +105,25 @@ def _node_stage(rowT, oT, inv_dT, t_cut, is_node):
     tmax8 = jnp.min(jnp.maximum(t1, t2), axis=0)
     hit8 = (tmax8 >= tmin8) & (tmax8 > 0.0) & (tmin8 < t_cut[None, :])
 
-    cb = _i32(rowT[48:50])                                # [2,N]
-    base, leaf_mask = cb[0], cb[1]
+    base = _i32(rowT[48])                                 # [N]
     slots = jnp.arange(8, dtype=jnp.int32)[:, None]       # [8,1]
-    leaf8 = (leaf_mask[None, :] >> slots) & 1
     # IEEE total-order trick: int bits sort like the float once negative
     # patterns have their low 31 bits flipped — NEGATIVE tmins (boxes
     # straddling the origin, common for secondary rays) must keep their
     # true order: clamping them to 0 measured +20% lockstep iterations.
-    # The low 4 bits are recycled for (leaf flag << 3 | slot) — ties within
-    # a 16-ulp bucket break arbitrarily, which only affects visit order.
+    # The low 3 bits are recycled for the slot — ties within an 8-ulp
+    # bucket break arbitrarily, which only affects visit order.
     tb = jax.lax.bitcast_convert_type(tmin8, jnp.int32)
     tb = jnp.where(tb >= 0, tb, tb ^ jnp.int32(0x7FFFFFFF))
-    key = (tb & jnp.int32(~15)) | (leaf8 << 3) | slots    # [8,N]
-    live = is_node[None, :] & hit8
+    key = (tb & jnp.int32(~7)) | slots                    # [8,N]
+    live = active[None, :] & hit8
     key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
     ks = _sort8_keys([key[i] for i in range(8)])
     metas = []
     count = jnp.zeros_like(base)
     for i, k in enumerate(ks):
         g = k != _KEY_INVALID
-        meta = (base + (k & 7)) | ((k & 8) << 27)   # leaf bit 3 -> bit 30
-        metas.append(jnp.where(g, meta, -1))
+        metas.append(jnp.where(g, base + (k & 7), -1))
         if i > 0:
             count = count + g.astype(jnp.int32)
     return metas[0], metas[1:], count
@@ -173,17 +174,22 @@ def _mt9(oT, dT, tri9, t_cut, skip_tri, active, tid):
     return t, u, v, ok
 
 
-def _leaf_tris(rowT, oT, dT, t_cut, skip_tri, is_leaf, lt):
-    """Batched Möller-Trumbore over the row's `lt` inline triangles —
+_TRI_OFF = 50  # scene/bvh8.py TRI_OFF: inline triangles start here
+
+
+def _leaf_tris(rowT, oT, dT, t_cut, skip_tri, active, lt):
+    """Batched Möller-Trumbore over the row's `lt` INLINE triangles —
     per-slot full-lane component math (no [N,lt,3] minor-dim padding).
+    Runs on every row (hybrid layout): pure inner rows carry -1 ids.
 
     Returns per-slot lists (tt, uu, vv, ok, tid) and raw [lt,N]."""
-    raw = _i32(rowT[9 * lt:10 * lt])                      # [lt,N]
+    raw = _i32(rowT[_TRI_OFF + 9 * lt:_TRI_OFF + 10 * lt])  # [lt,N]
     tt, uu, vv, ok, tid = [], [], [], [], []
     for j in range(lt):
         tidj = jnp.where(raw[j] < 0, -1, raw[j] & ~LEAF_MAT_FLAG)
-        t, u, v, okj = _mt9(oT, dT, rowT[9 * j:9 * j + 9], t_cut, skip_tri,
-                            is_leaf, tidj)
+        t, u, v, okj = _mt9(oT, dT, rowT[_TRI_OFF + 9 * j:
+                                         _TRI_OFF + 9 * j + 9],
+                            t_cut, skip_tri, active, tidj)
         tt.append(t)
         uu.append(u)
         vv.append(v)
@@ -275,7 +281,6 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     oT, dT, inv_dT = o.T, d.T, safe_inv_dir(d).T
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
-    leaf_bit = jnp.int32(1 << 30)
 
     # descend-direct: `direct` holds the next entry to process without
     # touching the stack; the stack only holds deferred siblings
@@ -292,22 +297,20 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
         entry = jnp.where(use_direct, direct, popped)
 
         valid = entry >= 0
-        is_leaf = valid & ((entry & leaf_bit) != 0)
-        is_node = valid & ~is_leaf
-        rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        rowT = table[rowid].T   # THE gather, transposed to [64,N]
+        rowid = jnp.maximum(entry, 0)
+        rowT = table[rowid].T   # THE gather, transposed to [W,N]
 
-        # ---- inner-node branch: packed-key sort, descend nearest,
+        # ---- child stage: packed-key sort, descend nearest,
         # push deferred siblings far->near
         new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, t_best,
-                                                  is_node)
+                                                  valid)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         # encode pending loss in lostc's low bit; restarts in higher bits
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- leaf branch: per-slot full-lane triangle tests
+        # ---- inline-triangle stage: per-slot full-lane tests
         tt, uu, vv, ok, tid, _raw = _leaf_tris(rowT, oT, dT, t_best,
-                                               skip_tri, is_leaf, lt)
+                                               skip_tri, valid, lt)
         t_best, tri, u, v = _leaf_closest(tt, uu, vv, ok, tid,
                                           t_best, tri, u, v)
 
@@ -343,7 +346,6 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
     with_leaf = scene.has_leaf_materials
-    leaf_bit = jnp.int32(1 << 30)
 
     direct0 = jnp.zeros((n,), jnp.int32)
     if active is not None:
@@ -358,20 +360,18 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
         entry = jnp.where(use_direct, direct, popped)
 
         valid = entry >= 0
-        is_leaf = valid & ((entry & leaf_bit) != 0)
-        is_node = valid & ~is_leaf
-        rowid = jnp.where(valid, entry & ~leaf_bit, 0)
+        rowid = jnp.maximum(entry, 0)
         rowT = table[rowid].T
 
         # ordered stage for any-hit too: the sort is ~38 cheap wide ops
         # and the block push requires the near-first prefix order
         new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, max_t,
-                                                  is_node)
+                                                  valid)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
         tt, uu, vv, ok, tid, raw = _leaf_tris(rowT, oT, dT, max_t, skip_tri,
-                                              is_leaf, lt)
+                                              valid, lt)
         blocked = jnp.zeros_like(entry, dtype=bool)
         scale, blocked = _leaf_shadow(scene, with_leaf, dT, uu, vv, ok,
                                       tid, raw, scale, blocked)
@@ -456,7 +456,6 @@ def make_fused_step(scene):
     table = scene.bvh8_table
     lt = getattr(scene, 'bvh8_leaf_tris', 4)
     with_leaf = scene.has_leaf_materials
-    leaf_bit = jnp.int32(1 << 30)
 
     def step(ts: TravState, o, d, inv_d, skip_tri, is_shadow) -> TravState:
         oT, dT, inv_dT = o.T, d.T, inv_d.T
@@ -472,25 +471,23 @@ def make_fused_step(scene):
         entry = jnp.where(use_direct, direct, popped)
 
         valid = entry >= 0
-        is_leaf = valid & ((entry & leaf_bit) != 0)
-        is_node = valid & ~is_leaf
-        rowid = jnp.where(valid, entry & ~leaf_bit, 0)
-        # THE gather [N,64] -> [64,N]. Measured-neutral alternatives (same
-        # 1080p headline within noise): a pre-transposed [64,R] table
+        rowid = jnp.maximum(entry, 0)
+        # THE gather [N,W] -> [W,N]. Measured-neutral alternatives (same
+        # 1080p headline within noise): a pre-transposed [W,R] table
         # gathered along axis 1, and an optimization_barrier forcing one
         # materialization — XLA already handles the gather+transpose well.
         rowT = table[rowid].T
 
-        # ---- inner node: closest lanes benefit from the near-first
+        # ---- child stage: closest lanes benefit from the near-first
         # descent order; shadow lanes ride along (order-agnostic)
         new_direct, deferred, kpush = _node_stage(rowT, oT, inv_dT, t_cut,
-                                                  is_node)
+                                                  valid)
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- leaf: per-slot full-lane tests, mode-split bookkeeping
+        # ---- inline triangles: per-slot full-lane tests, mode-split
         tt, uu, vv, ok, tid, raw = _leaf_tris(rowT, oT, dT, t_cut, skip_tri,
-                                              is_leaf, lt)
+                                              valid, lt)
         okc = [o_ & ~is_shadow for o_ in ok]
         t_cut, tri, u, v = _leaf_closest(tt, uu, vv, okc, tid,
                                          t_cut, tri, u, v)

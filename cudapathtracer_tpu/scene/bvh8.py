@@ -9,34 +9,45 @@ wide [N, D] arrays manipulated with one-hot masks (pure VPU, no narrow
 slices).
 
 Why sibling-contiguous ("compressed BVH") rows: all children of a node
-occupy CONSECUTIVE table rows, so a node stores one `child_base` int and an
-8-bit `leaf_mask` instead of 8 child pointers — the traversal's near-far
-ordering then sorts a SINGLE packed int key per child slot (tmin bits |
-leaf flag | slot) and reconstructs each child's row as `child_base + slot`
-by arithmetic. That removes two thirds of the sort-network traffic, which
-profiling showed was the largest non-gather cost of a traversal step
-(~27%). Zero space overhead: every row is still some node's child, rows are
-simply emitted in sibling blocks (BFS order, root = row 0).
+occupy CONSECUTIVE table rows, so a node stores one `child_base` int
+instead of 8 child pointers — the traversal's near-far ordering then sorts
+a SINGLE packed int key per child slot (tmin bits | slot) and reconstructs
+each child's row as `child_base + slot` by arithmetic. That removes two
+thirds of the sort-network traffic, which profiling showed was the largest
+non-gather cost of a traversal step (~27%). Zero space overhead: every row
+is still some node's child, rows are simply emitted in sibling blocks
+(BFS order, root = row 0).
 
-Unified table layout (float32, [R, W], W = row_width(leaf_tris)):
+HYBRID rows (round 3): every row carries BOTH a child stage and up to
+`leaf_tris` INLINE triangles. The traversal step always runs both stages
+in lockstep anyway (masked wide ops — the FLOPs are spent whether or not
+any lane is at a leaf), so triangles inlined into their parent's row are
+tested "for free" and the separate leaf-row visit disappears. At emission
+each node row absorbs the subset of its small (<= leaf_tris tris) children
+that maximizes saved surface area under the 4-triangle capacity (exact
+knapsack over <= 8 children); absorbed children vanish from the child
+slots, the rest keep sibling-contiguous rows. Measured on the 82k-tri
+1080p scene: expected visited rows (SAH surrogate sum(area) over emitted
+rows) drops 23%, leaf rows 26.5k -> ~21k, with identical per-step cost.
+A pure leaf row is simply a row with no children (all slots empty).
 
-  inner node row:
-    [0:48]  child AABBs grouped by coordinate for wide slab tests:
-            minx[8], miny[8], minz[8], maxx[8], maxy[8], maxz[8];
-            empty slots carry a degenerate box (min=max=+inf), never hit
-    [48]    child_base (int32 bitcast): table row of the slot-0 child;
-            slot i lives at child_base + i
-    [49]    leaf_mask (int32 bitcast): bit i set = child i is a leaf row
-    [50:]   pad
+Unified table layout (float32, [R, W], W = row_width(leaf_tris) = 96):
 
-  leaf row (up to `leaf_tris` triangles):
-    [0:9L]     triangles v0,e1,e2 (9 floats each)
-    [9L:10L]   triangle ids (int32 bitcast; bit30 = leaf-material flag;
-               -1 pad)
-    [10L:]     pad
+    [0:48]   child AABBs grouped by coordinate for wide slab tests:
+             minx[8], miny[8], minz[8], maxx[8], maxy[8], maxz[8];
+             empty/absorbed slots carry a degenerate box (min=max=+inf),
+             never hit
+    [48]     child_base (int32 bitcast): table row of the slot-0 child;
+             slot i lives at child_base + i (0 when the row has no
+             children — harmless, no slot ever hits)
+    [49]     pad
+    [50:50+9L]       inline triangles v0,e1,e2 (9 floats each)
+    [50+9L:50+10L]   triangle ids (int32 bitcast; bit30 = leaf-material
+                     flag; -1 pad)
+    [50+10L:]        pad
 
-Whether a row is a node or a leaf is carried in the traversal entry (bit 30
-of the pushed row index), never looked up.
+There is no leaf bit anywhere: a traversal entry is a plain row index and
+every row runs the same two stages.
 
 Children keep the binary builder's in-order layout, so every collapsed
 subtree's triangle range is contiguous in the permuted order. Two collapse
@@ -47,9 +58,11 @@ integratorUtilities.cuh:84-186):
     (area-weighted flattening — round-1 policy);
   * "sah" (default): exact dynamic program over the binary tree that
     minimizes the expected number of VISITED ROWS per ray (the engine's
-    true cost unit: one gather + one lockstep step per row, node or leaf
-    alike), i.e. it minimizes sum over emitted rows of area(row) — the
-    wide-BVH analogue of the SAH used at binary build time.
+    true cost unit: one gather + one lockstep step per row), i.e. it
+    minimizes sum over emitted rows of area(row) — the wide-BVH analogue
+    of the SAH used at binary build time. (The DP prices every small
+    subtree as a leaf row; inline absorption then removes the highest-area
+    ones at emission, a strict improvement on the DP's objective.)
 """
 
 from __future__ import annotations
@@ -58,8 +71,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_BIT = 1 << 30
-LEAF_TRIS = 4   # default leaf capacity (rows stay 64 floats wide)
+LEAF_TRIS = 4   # inline triangle capacity per row
 
 # Empty child slots carry a degenerate AABB with min = max = +inf: for any
 # direction-sign combination the slab test then yields tmin=+inf (fails
@@ -67,22 +79,25 @@ LEAF_TRIS = 4   # default leaf capacity (rows stay 64 floats wide)
 # FALSELY HIT when negative direction components swap the min/max roles.
 _EMPTY_BOUND = np.inf
 
+TRI_OFF = 50    # inline triangles start at this row column
+
 
 def row_width(leaf_tris: int) -> int:
-    """Table row width for a leaf capacity: 9 floats/tri + 1 id/tri, node
-    rows need 50. Gather cost on v5e is per ROW and width-flat up to 64
-    floats (~1.6x at 128), so capacities >4 pay for themselves only if they
-    cut row visits by more than that (measured: they don't — 4 is the
-    default; the knob documents the experiment)."""
-    need = max(10 * leaf_tris, 50)
-    return 64 if need <= 64 else 128
+    """Table row width for an inline capacity: 48 bounds + 2 meta +
+    10 floats/tri. Gather cost on v5e is per ROW and near width-flat
+    (~1.1x at 96 vs 64, ~1.6x at 128), so capacity 4 -> width 96."""
+    need = TRI_OFF + 10 * leaf_tris
+    for w in (64, 96, 128):
+        if need <= w:
+            return w
+    raise ValueError(f"leaf_tris {leaf_tris} too large")
 
 
 @dataclass
 class BVH8:
     table: np.ndarray      # [R, W] f32 (sibling-contiguous, root = row 0)
     num_nodes: int
-    num_leaves: int
+    num_leaves: int        # rows with no children (pure leaf rows)
     leaf_tris: int = LEAF_TRIS
 
 
@@ -129,26 +144,52 @@ def collapse(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
     return collapse_py(bvh, tri_pack, tri_is_leaf_mat, leaf_tris)
 
 
+def _knapsack_inline(leaves_idx, weights, areas, cap):
+    """Exact subset choice: among the (<= 8) leaf children, pick the subset
+    with total triangle count <= cap maximizing summed f32 area. Subsets
+    are enumerated by increasing bitmask over the child-order list and a
+    STRICT > comparison keeps the first-found best — the native port
+    replicates this enumeration bit-for-bit."""
+    best_a = np.float32(0.0)
+    best_mask = 0
+    nl = len(leaves_idx)
+    for mask in range(1, 1 << nl):
+        w = 0
+        a = np.float32(0.0)
+        for i in range(nl):
+            if mask >> i & 1:
+                w += weights[i]
+                a = np.float32(a + areas[i])
+        if w <= cap and a > best_a:
+            best_a = a
+            best_mask = mask
+    return best_mask
+
+
 def _emit_table(bvh, tri_pack, tri_is_leaf_mat, leaf_tris, expand) -> BVH8:
-    """Shared DFS table emission: each processed node allocates one
-    contiguous block of rows for its children (from `expand(b)` — a list of
-    binary subtree roots); inner children are stacked with their assigned
-    row, leaf children are written immediately. Depth-first block order
-    clusters each subtree's rows, which keeps a coherent wavefront's row
-    working set compact in HBM."""
+    """Shared DFS table emission with hybrid inline absorption: each
+    processed node allocates one contiguous block of rows for its
+    NON-ABSORBED children (from `expand(b)` — a list of binary subtree
+    roots); absorbed leaf children's triangles go inline into the node's
+    own row. Depth-first block order clusters each subtree's rows, which
+    keeps a coherent wavefront's row working set compact in HBM."""
     LT = leaf_tris
     RW = row_width(leaf_tris)
 
+    def write_tris(row, tri_list):
+        ids = np.full(LT, -1, np.int32)
+        for k, t in enumerate(tri_list):
+            row[TRI_OFF + 9 * k: TRI_OFF + 9 * k + 9] = tri_pack[t]
+            tid = np.int32(t)
+            if tri_is_leaf_mat[t]:
+                tid = np.int32(tid | np.int32(1 << 30))
+            ids[k] = tid
+        row[TRI_OFF + 9 * LT: TRI_OFF + 10 * LT] = ids.view(np.float32)
+
     def make_leaf_row(s, e):
         row = np.zeros(RW, np.float32)
-        ids = np.full(LT, -1, np.int32)
-        for k in range(e - s):
-            row[9 * k: 9 * k + 9] = tri_pack[s + k]
-            tid = np.int32(s + k)
-            if tri_is_leaf_mat[s + k]:
-                tid = np.int32(tid | LEAF_BIT)
-            ids[k] = tid
-        row[9 * LT:10 * LT] = ids.view(np.float32)
+        row[0:48] = _EMPTY_BOUND    # no children
+        write_tris(row, range(s, e))
         return row
 
     rows: dict[int, np.ndarray] = {}
@@ -158,26 +199,49 @@ def _emit_table(bvh, tri_pack, tri_is_leaf_mat, leaf_tris, expand) -> BVH8:
     while queue:
         b, my_row = queue.pop()
         children = expand(b)
-        base = cursor
-        cursor += len(children)
         num_nodes += 1
+
+        # hybrid absorption: exact knapsack over the small children
+        sizes = [_subtree_range(bvh, c) for c in children]
+        small = [i for i, (s, e) in enumerate(sizes) if e - s <= LT]
+        absorb_mask = 0
+        if small:
+            weights = [sizes[i][1] - sizes[i][0] for i in small]
+            areas = [np.float32(_area(bvh.bounds[children[i]]))
+                     for i in small]
+            km = _knapsack_inline(small, weights, areas, LT)
+            for j, i in enumerate(small):
+                if km >> j & 1:
+                    absorb_mask |= 1 << i
+
+        inline_tris: list[int] = []
+        kept: list[int] = []
+        for i, c in enumerate(children):
+            if absorb_mask >> i & 1:
+                s, e = sizes[i]
+                inline_tris.extend(range(s, e))
+            else:
+                kept.append(i)
+
+        base = cursor
+        cursor += len(kept)
 
         row = np.zeros(RW, np.float32)
         row[0:48] = _EMPTY_BOUND    # empty slots: degenerate box, never hit
-        leaf_mask = 0
-        for i, c in enumerate(children):
+        for slot, i in enumerate(kept):
+            c = children[i]
             bb = bvh.bounds[c]
             for ax in range(3):
-                row[ax * 8 + i] = bb[ax]
-                row[(3 + ax) * 8 + i] = bb[3 + ax]
-            s, e = _subtree_range(bvh, c)
+                row[ax * 8 + slot] = bb[ax]
+                row[(3 + ax) * 8 + slot] = bb[3 + ax]
+            s, e = sizes[i]
             if e - s > LT:
-                queue.append((c, base + i))
+                queue.append((c, base + slot))
             else:
-                leaf_mask |= 1 << i
-                rows[base + i] = make_leaf_row(s, e)
+                rows[base + slot] = make_leaf_row(s, e)
                 num_leaves += 1
-        row[48:50] = np.asarray([base, leaf_mask], np.int32).view(np.float32)
+        row[48:50] = np.asarray([base, 0], np.int32).view(np.float32)
+        write_tris(row, inline_tris)
         rows[my_row] = row
 
     table = np.stack([rows[r] for r in range(cursor)]).astype(np.float32)
@@ -234,10 +298,10 @@ def collapse_sah_py(bvh, tri_pack: np.ndarray, tri_is_leaf_mat: np.ndarray,
                        min_{k<j} dist[left, k] + dist[right, j-k])
 
     A node with tris(n) <= LT is emitted as ONE leaf row spanning its whole
-    contiguous triangle range exactly like the greedy policy; the DP's
-    freedom is the PARTITION of the tree into 8-wide nodes. Ties break to
-    the single-root choice, then to the smallest k (the native port
-    replicates this, bit-for-bit)."""
+    contiguous triangle range exactly like the greedy policy — unless the
+    emission-time knapsack absorbs it into its parent's inline slots
+    (_emit_table). Ties break to the single-root choice, then to the
+    smallest k (the native port replicates this, bit-for-bit)."""
     LT = leaf_tris
     M = bvh.num_nodes
     left, right = bvh.left, bvh.right

@@ -148,27 +148,28 @@ def test_sah_collapse_covers_all_triangles_and_costs_less():
         lm = np.zeros(n, bool)
 
         def walk(b8):
-            """Walk the CBVH table from the root; returns (tri ids found in
-            leaf rows, expected-visited-rows SAH cost = sum of row areas /
-            root area) — the DP objective, recomputed from the table."""
+            """Walk the hybrid CBVH table from the root; returns (tri ids
+            found in inline slots, expected-visited-rows SAH cost = sum of
+            row areas) — the DP objective, recomputed from the table.
+            Hybrid layout: every row carries inline tris at TRI_OFF and
+            children via finite bound slots (scene/bvh8.py)."""
             tids, cost = [], 0.0
-            stack = [(0, False)]  # (row, is_leaf)
+            stack = [0]
+            TO = bvh8.TRI_OFF
             while stack:
-                r, is_leaf = stack.pop()
+                r = stack.pop()
                 row = b8.table[r]
-                if is_leaf:
-                    ids = row[9 * 4:10 * 4].view(np.int32)
-                    tids.extend(int(t) for t in ids if t >= 0)
-                    continue
-                base, mask = row[48:50].view(np.int32)
+                ids = row[TO + 9 * 4:TO + 10 * 4].view(np.int32)
+                tids.extend(int(t) for t in ids if t >= 0)
+                base = int(row[48:49].view(np.int32)[0])
                 box = row[0:48].reshape(6, 8)
                 for i in range(8):
                     if not np.isfinite(box[0, i]):
-                        continue  # empty slot
+                        continue  # empty/absorbed slot
                     ext = np.maximum(box[3:6, i] - box[0:3, i], 0.0)
                     cost += 2.0 * (ext[0] * ext[1] + ext[1] * ext[2]
                                    + ext[2] * ext[0])
-                    stack.append((int(base) + i, bool((mask >> i) & 1)))
+                    stack.append(base + i)
             return tids, cost
 
         costs = {}

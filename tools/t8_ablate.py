@@ -32,7 +32,7 @@ if mode == "noleaf":
     def _lt_off(rowT, oT, dT, t_cut, skip_tri, is_leaf, lt):
         z = jnp.zeros_like(t_cut)
         f = jnp.zeros_like(is_leaf)
-        raw = t8._i32(rowT[9 * lt:10 * lt])
+        raw = t8._i32(rowT[t8._TRI_OFF + 9 * lt:t8._TRI_OFF + 10 * lt])
         one = [z] * lt
         return one, one, one, [f] * lt, [raw[j] for j in range(lt)], raw
     t8._leaf_tris = _lt_off
