@@ -85,10 +85,13 @@ _D_NEE = 16    # 3 draws
 
 _ID_STRIDE = 64  # ids = global_pixel_index * 64 + depth; eye_depth < 64
 
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "8"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "8"))
+# Round-3 re-sweep after hybrid BVH8 rows (same-window, shipped 800^2
+# eye16/light10 workload): spi8/w12960 15.6 -> spi6/w12960 13.1 ->
+# spi6/w9720 12.0 s/sample (spi4 16.2 and merge_w=W/2 16.5 lose).
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "6"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
 # tuned default lane count + retire-slot factor — see unidirectional_mega
-MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "9720"))
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 # photon-merge sub-wavefront capacity (lanes merged per FULL transition).
 # The merge fold's gathers cost ~per-row, so folding at the full width W

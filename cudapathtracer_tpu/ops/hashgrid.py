@@ -41,7 +41,9 @@ PHOTON_ROW = 8
 
 
 class PhotonGrid(NamedTuple):
-    rows: jax.Array        # [P, 8] packed sorted photon rows (pack_photons)
+    rows: jax.Array        # [P8, 8] packed sorted photon rows
+    #                        (pack_photons), padded to a multiple of 8 so
+    #                        they reshape to [P8/8, 64] brick rows
     cell_start: jax.Array  # [T+1] i32
     cell_end: jax.Array    # [T+1] i32
     scene_min: jax.Array   # [3]
@@ -97,6 +99,15 @@ def build_grid(rows, valid, scene_min, merge_radius, table_size: int
     order = jnp.argsort(h)
     h_sorted = h[order]
     rows_sorted = rows[order]
+    # pad the row count to a multiple of 8 (+8 guard): fold_neighbors
+    # fetches photons in 8-photon "bricks" (the [P,8] buffer reshaped
+    # [P/8, 64]) so one wide gather replaces 8 narrow ones — v5e gather
+    # cost is per ROW and width-flat, so brick fetches cut the merge
+    # stage's gather traffic ~4x at cap 8. Pad rows land beyond every
+    # cell's [start, end) range and are masked out arithmetically.
+    pad = (-p) % 8 + 8
+    rows_sorted = jnp.concatenate(
+        [rows_sorted, jnp.zeros((pad, rows.shape[1]), rows.dtype)], axis=0)
 
     idx = jnp.arange(p, dtype=jnp.int32)
     cell_start = jnp.full((table_size + 1,), p, jnp.int32)
@@ -177,6 +188,17 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     frac = (query_pos - grid.scene_min) / grid.cell_size - base
     step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
 
+    # brick fetch geometry: a cell's first max_per_cell photons start at
+    # an arbitrary offset within the 8-photon bricks, so they span at most
+    # (cap + 7)//8 + 1 consecutive bricks; each brick is ONE wide gather
+    # (64 floats) instead of 8 narrow ones — 4x less gather traffic at
+    # cap 8 (v5e gather cost is ~18 us fixed + ~7.3 ns per ROW,
+    # width-flat), which dominated the VCM merge stage.
+    rw = grid.rows.shape[1]
+    bricks = grid.rows.reshape(-1, 8 * rw)        # [P8/8, 64]
+    n_wide = (max_per_cell + 7) // 8 + 1
+    n_slots = 8 * n_wide
+
     def cell_body(carry_drop, c):
         carry, dropped = carry_drop
         off = jnp.stack([step[:, 0] * ((c >> 0) & 1),
@@ -186,18 +208,25 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
         start = grid.cell_start[h]
         count = jnp.maximum(grid.cell_end[h] - start, 0)
 
-        # ONE gather for all max_per_cell slots of this cell. Candidate
-        # set, slot order and masking are identical to the per-slot form.
-        # NOTE HBM footprint: rows_k materializes [max_per_cell, n, 8] f32
-        # per scanned cell (~K*n*32 B, e.g. ~164 MB at n=800^2 with cap 8)
-        # — a measured win at shipped configs (and the compacted merge
-        # keeps n at the sub-wavefront width), but chunk the queries if
-        # max_per_cell or the query batch grows much beyond that.
-        ks = jnp.arange(max_per_cell, dtype=jnp.int32)
-        slot_ok = active[None, :] & (ks[:, None] < count[None, :])  # [K,N]
-        i = jnp.where(slot_ok, start[None, :] + ks[:, None], 0)
-        rows_k = grid.rows[i.reshape(-1)].reshape(
-            max_per_cell, n, grid.rows.shape[1])
+        # gather the covering bricks and re-slice into photon rows.
+        # Candidate set, slot order (ascending photon index) and masking
+        # are identical to the per-slot form; masked adds contribute
+        # exact 0.0 so the fold is bit-identical to it.
+        # NOTE HBM footprint: rows_k materializes
+        # [n_slots, n, 8] f32 per scanned cell — fine at shipped configs
+        # (the compacted merge keeps n at the sub-wavefront width); chunk
+        # the queries if max_per_cell or the query batch grows a lot.
+        w0 = start >> 3
+        max_brick = bricks.shape[0] - 1
+        gath = [bricks[jnp.minimum(w0 + k, max_brick)]
+                for k in range(n_wide)]              # each [N, 64]
+        rows_k = jnp.concatenate(gath, axis=1).reshape(
+            n, n_slots, rw).transpose(1, 0, 2)       # [S, N, 8]
+        ks = jnp.arange(n_slots, dtype=jnp.int32)
+        p_idx = (w0 << 3)[None, :] + ks[:, None]     # photon index [S,N]
+        rel = p_idx - start[None, :]
+        slot_ok = (active[None, :] & (rel >= 0)
+                   & (rel < jnp.minimum(count, max_per_cell)[None, :]))
 
         def slot_body(k, carry):
             row = jax.lax.dynamic_index_in_dim(rows_k, k, 0,
@@ -208,7 +237,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
             d2 = jnp.sum(diff * diff, axis=-1)
             return fold(carry, row, valid_slot & (d2 <= r2))
 
-        carry = jax.lax.fori_loop(0, max_per_cell, slot_body, carry)
+        carry = jax.lax.fori_loop(0, n_slots, slot_body, carry)
         if count_dropped:
             over = jnp.where(active,
                              jnp.maximum(count - max_per_cell, 0), 0)
