@@ -94,6 +94,16 @@ MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "9720"))
 # against the [K,3,W] retirement sweep per transition (K=168 -> 88 at
 # w=25920/1080p measured -440 us/iteration).
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
+# Early-NEE overlap (see mini()): launch a drained closest lane's NEE
+# shadow at a mini instead of idling until the full transition. MEASURED
+# OFF by default: same-session 1080p A/B gave 11.59 (off) vs 10.33
+# (every mini) vs 10.64 (once mid-window) — the mini-side draw + light
+# sample + launch block costs more than the drain-wait it removes at the
+# current spi=6 cadence. The machinery stays (bit-identical images,
+# tests/test_mega.py::test_mega_early_nee_overlap_invariant) for
+# schedules/scenes where shadow latency dominates; the extra state rides
+# the carry measurably free when off.
+EARLY_NEE = _os.environ.get("TPT_MEGA_EARLY_NEE", "0") not in ("0", "")
 
 
 class _MState(NamedTuple):
@@ -106,6 +116,19 @@ class _MState(NamedTuple):
     d: jax.Array
     inv_d: jax.Array
     is_shadow: jax.Array   # [W] bool traversal mode
+    early: jax.Array       # [W] bool: NEE shadow launched at a mini BEFORE
+    #                        the shade (early-NEE overlap); the closest-hit
+    #                        record is saved in h_* until the next full
+    #                        transition shades the lane and computes the
+    #                        pending weight from the SAME counter-keyed
+    #                        draws (bit-identical image)
+    h_point: jax.Array     # [3,W] saved hit point (o + d*t, computed at
+    #                        the mini with the exact shade formula)
+    h_d: jax.Array         # [3,W] saved closest ray direction
+    h_t: jax.Array         # [W] saved closest-hit record of early lanes
+    h_tri: jax.Array       # [W] i32
+    h_u: jax.Array         # [W]
+    h_v: jax.Array         # [W]
     next_px: jax.Array     # scalar i32 pixel queue head
     ret_count: jax.Array   # [W] i32 paths this lane has retired
     prays: jax.Array       # [W] i32 rays launched by the CURRENT path
@@ -146,13 +169,15 @@ class _MState(NamedTuple):
 @partial(jax.jit, static_argnames=("max_depth", "width", "use_mis",
                                    "sample_environment", "steps_per_iter",
                                    "mini_splits", "chunk_pixels",
-                                   "debug_counters", "grid_w"))
+                                   "debug_counters", "grid_w",
+                                   "early_nee"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
                   steps_per_iter: int = 0, mini_splits: int = 0,
                   chunk_pixels: int = 0,
-                  debug_counters: bool = False, grid_w: int = 0):
+                  debug_counters: bool = False, grid_w: int = 0,
+                  early_nee: bool | None = None):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
     width: lane count W of the persistent wavefront (0 = P, capped).
@@ -208,6 +233,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     fstep = make_fused_step(scene).lane_major
     mats = scene.materials
     do_nee_stage = use_mis and scene.num_lights > 0
+    early_nee = EARLY_NEE if early_nee is None else early_nee
     lobes = getattr(scene, "mat_type_mask", lm.ALL_LOBES)
 
     def ids2(pid, lit):
@@ -242,18 +268,34 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         did = ids2(gbase + pid, lit)
 
         # ------ 1. resolve drained shadow lanes ---------------------------
-        sh_done = drained & s.is_shadow
+        # (early-NEE lanes are excluded: their pending weight is not
+        # computed yet — they resolve after the shade below)
+        sh_done = drained & s.is_shadow & ~s.early
         li = li + jnp.where(sh_done[None, :], pending * ts.scale, 0.0)
         pending = jnp.where(sh_done[None, :], 0.0, pending)
         # alive shadow lanes continue with the stored BSDF ray
         cont = sh_done & alive
         dead = sh_done & ~alive
 
-        # ------ 2. shade drained closest lanes ----------------------------
-        cl_done = drained & ~s.is_shadow
-        hit = traverse.Hit(t=ts.t_cut, tri=jnp.where(cl_done, ts.tri, -1),
-                           u=ts.u, v=ts.v)
-        info, mat = lm.shade_dataT(scene, s.o, s.d, hit)
+        # ------ 2. shade drained closest lanes + early-NEE lanes ----------
+        # Early lanes' closest-hit record was saved at launch (h_*); their
+        # NEE shadow is in flight (or already drained) on ts.
+        was_early = s.early
+        cl_done = (drained & ~s.is_shadow) | was_early
+        hit_t = jnp.where(was_early, s.h_t, ts.t_cut)
+        hit = traverse.Hit(t=hit_t,
+                           tri=jnp.where(cl_done,
+                                         jnp.where(was_early, s.h_tri,
+                                                   ts.tri), -1),
+                           u=jnp.where(was_early, s.h_u, ts.u),
+                           v=jnp.where(was_early, s.h_v, ts.v))
+        # early lanes' o/d registers now hold the in-flight SHADOW ray;
+        # shade from the saved closest ray/point instead (bit-identical:
+        # h_point was computed with the exact o + d*t formula at launch)
+        sd_d = jnp.where(was_early[None, :], s.h_d, s.d)
+        point_pre = jnp.where(was_early[None, :], s.h_point,
+                              s.o + s.d * hit_t[None, :])
+        info, mat = lm.shade_dataT(scene, s.o, sd_d, hit, point=point_pre)
         miss = cl_done & ~hit.valid
         li = li + jnp.where(miss[None, :],
                             beta * lm.sample_skyT(s.d, sample_environment),
@@ -264,7 +306,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         mat_id = info["mat_id"]
         backface = info["backface"]
         normal = info["normal"]
-        wi_local = lm.to_localT(s.d, normal)
+        wi_local = lm.to_localT(sd_d, normal)
         albedo = lm.resolve_albedoT(scene, mat, info["uv"])
         trans = lm.resolve_transmissionT(scene, mat, info["uv"])
         is_specular = mat.is_specular
@@ -305,6 +347,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             0.0)
 
         start_shadow = jnp.zeros_like(drained)
+        has_shadow = jnp.zeros_like(drained)
         if use_mis:
             light_pdf_hit = lm.nee_pdfT(
                 scene, prev_point, info["point"],
@@ -328,7 +371,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             w_nee = lm.power2_weight(ns.light_pdf, bsdf_pdf_nee)
             pending = jnp.where(ns.active[None, :],
                                 beta * ns.contrib * w_nee[None, :], pending)
-            start_shadow = ns.active
+            # early lanes already launched this exact shadow at a mini
+            start_shadow = ns.active & ~was_early
+            has_shadow = ns.active
             rays = rays + jnp.sum(ns.active.astype(jnp.int32))
 
         # BSDF sampling (deviceCode.cu:476-479)
@@ -348,9 +393,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         wo_world = lm.normalizeT(lm.to_worldT(wo_local, normal))
         side = jnp.where(wo_local[2] > 0.0, 1.0, -1.0)
         o_true = info["point"] + normal * (side * EPSILON)[None, :]
-        o_false = info["point"] + s.d * RAY_EPSILON
+        o_false = info["point"] + sd_d * RAY_EPSILON
         cand_o = jnp.where(shade[None, :], o_true, o_false)
-        cand_d = jnp.where(shade[None, :], wo_world, s.d)
+        cand_d = jnp.where(shade[None, :], wo_world, sd_d)
         nxt_o = jnp.where(hitv[None, :], cand_o, nxt_o)
         nxt_d = jnp.where(hitv[None, :], cand_d, nxt_d)
 
@@ -372,8 +417,24 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         path_on = hitv & ~lane_dead
         alive = jnp.where(cl_done, path_on, alive)
         # a killed/capped lane with a pending NEE shadow still flushes it
-        dead = dead | (cl_done & ~path_on & ~start_shadow)
+        dead = dead | (cl_done & ~path_on & ~has_shadow)
         lit = jnp.where(cl_done, lit + 1, lit)
+
+        # ------ 2b. early-NEE settlement -------------------------------
+        # res_early: the early shadow already drained — resolve the now-
+        # weighted pending immediately and fall through to the normal
+        # next-ray launch. fly_early & has_shadow: keep the flight, the
+        # mini resolves it once the early flag is cleared. cancel: the
+        # speculative launch turned out non-NEE (specular/emissive/false
+        # hit) — the flight is either overwritten by the next launch
+        # (path continues) or force-drained (path dead).
+        res_early = was_early & (ts.flag < 0)
+        fly_early = was_early & (ts.flag >= 0)
+        cancel = fly_early & ~has_shadow
+        li = li + jnp.where((res_early & has_shadow)[None, :],
+                            pending * ts.scale, 0.0)
+        pending = jnp.where(res_early[None, :], 0.0, pending)
+        dead = dead | (res_early & ~path_on) | (cancel & ~path_on)
 
         # ------ 3. retire finished paths + refill from the pixel queue ----
         # A retired path's radiance lands in the lane's own SLOT LIST
@@ -436,10 +497,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pending = jnp.where(g2, 0.0, pending)
 
         # ------ 4. launch the next traversal per lane ---------------------
-        #   shadow first when NEE is pending; else the stored/new closest
+        #   shadow first when NEE is pending; else the stored/new closest.
+        #   Early lanes whose legit shadow is still flying launch NOTHING
+        #   (the flight continues; the mini resolves it); canceled early
+        #   flights are overwritten (path continues) or force-drained
+        #   (path dead, no refill).
         go_shadow = start_shadow
         go_closest = (got | cont
-                      | (cl_done & path_on & ~start_shadow))
+                      | (cl_done & path_on & ~start_shadow
+                         & ~(fly_early & has_shadow)))
         o2 = jnp.where(go_shadow[None, :],
                        ns.origin if do_nee_stage else s.o,
                        jnp.where(got[None, :], go,
@@ -454,6 +520,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         t_lim = jnp.where(go_shadow,
                           ns.max_t if do_nee_stage else BIG_T, BIG_T)
         is_shadow = jnp.where(start_any, go_shadow, s.is_shadow)
+        kill_fly = cancel & ~path_on
+        ts = ts._replace(flag=jnp.where(kill_fly, -1, ts.flag))
+        is_shadow = is_shadow & ~kill_fly
         ts = trav_start(ts, start_any, t_lim)
         # drained lanes that launched nothing go idle
         ts = ts._replace(flag=jnp.where(drained & ~start_any, -1, ts.flag))
@@ -463,35 +532,93 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         d2 = jnp.where(start_any[None, :], d2, s.d)
         inv_d = jnp.where(start_any[None, :], lm.safe_inv_dirT(d2), s.inv_d)
         prays = (jnp.where(got, 0, s.prays)
-                 + start_any.astype(jnp.int32))
+                 + start_any.astype(jnp.int32)
+                 # early lanes' shadow counts HERE (where rays counts it)
+                 + (was_early & has_shadow & ~got).astype(jnp.int32))
 
+        # every early lane was shaded above — the flag resets until a mini
+        # sets it again
+        early0 = jnp.zeros_like(was_early)
         return _MState(rays, s.it, s.fires + 1, s.busy, ts, o2, d2,
-                       inv_d, is_shadow, next_px, ret_count, prays,
+                       inv_d, is_shadow, early0, s.h_point, s.h_d, s.h_t,
+                       s.h_tri, s.h_u, s.h_v, next_px, ret_count, prays,
                        pid, lit, depth, beta, li, alive, prev_pdf,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
                        ms.top, pending, nxt_o, nxt_d, ret_pid, acc)
 
-    def mini(s: _MState) -> _MState:
-        """Relaunch-only mini-transition: a drained NEE shadow lane already
-        holds its next closest ray (stored at shade), so resolving it needs
-        no gathers, draws or shading — a handful of [W] selects. Fired
-        between full transitions to cut drained-lane idling (shadow
-        traversals are ~half of all launches and shorter than closest
-        ones)."""
+    def mini(s: _MState, gbase, do_early: bool = True) -> _MState:
+        """Mini-transition between full transitions, two cheap jobs:
+
+        1. resolve drained NEE shadow lanes (they already hold their next
+           closest ray, stored at shade — no gathers, draws or shading);
+        2. EARLY-NEE overlap: a drained CLOSEST lane with a hit launches
+           its NEE shadow ray NOW instead of idling until the full
+           transition. The light sample needs only the hit point
+           (o + d*t, pure arithmetic) and its counter-keyed draws — the
+           shade later recomputes the identical sample for the weight
+           math, so the image is bit-identical; only the launch timing
+           changes. Speculative launches on lanes that turn out
+           specular/emissive/false-hit are canceled at shade (wasted
+           steps only — rare on real scenes; ray counts still tally at
+           shade, so the rays metric is schedule-invariant).
+        """
         ts = s.ts
-        done_sh = (ts.flag < 0) & (s.pid >= 0) & s.is_shadow & s.path_alive
+        done_sh = ((ts.flag < 0) & (s.pid >= 0) & s.is_shadow
+                   & s.path_alive & ~s.early)
         li = s.li + jnp.where(done_sh[None, :], s.pending * ts.scale, 0.0)
         pending = jnp.where(done_sh[None, :], 0.0, s.pending)
         ts = trav_start(ts, done_sh,
                         jnp.full(s.pid.shape, BIG_T, jnp.float32))
         o = jnp.where(done_sh[None, :], s.nxt_o, s.o)
         d = jnp.where(done_sh[None, :], s.nxt_d, s.d)
-        inv_d = jnp.where(done_sh[None, :], lm.safe_inv_dirT(d), s.inv_d)
         is_shadow = s.is_shadow & ~done_sh
         rays = s.rays + jnp.sum(done_sh.astype(jnp.int32))
+        prays = s.prays + done_sh.astype(jnp.int32)
+        early = s.early
+        h_point, h_d = s.h_point, s.h_d
+        h_t, h_tri, h_u, h_v = s.h_t, s.h_tri, s.h_u, s.h_v
+
+        if do_nee_stage and early_nee and do_early:
+            el = ((ts.flag < 0) & (s.pid >= 0) & ~is_shadow
+                  & (ts.tri >= 0))
+            gpid = gbase + jnp.maximum(s.pid, 0)
+            did = ids2(gpid, s.lit)
+            point = o + d * ts.t_cut[None, :]
+            lp, _ln, _le, _la, _lt = lm.sample_light_pointT(
+                scene, skey, _D_NEE, s.pid.shape[0], ids=did)
+            # EXACT nee_sampleT ray formulas (ops/lanemajor.py) — the
+            # shade recomputes these bits identically
+            stl = lp - point
+            wi = lm.normalizeT(stl)
+            dist = jnp.sqrt(jnp.maximum(lm.length_sqT(stl), 0.0))
+            origin = point + wi * EPSILON
+            max_t = (dist - EPSILON) * (1.0 - EPSILON)
+
+            h_point = jnp.where(el[None, :], point, h_point)
+            h_d = jnp.where(el[None, :], d, h_d)
+            h_t = jnp.where(el, ts.t_cut, h_t)
+            h_tri = jnp.where(el, ts.tri, h_tri)
+            h_u = jnp.where(el, ts.u, h_u)
+            h_v = jnp.where(el, ts.v, h_v)
+            ts = trav_start(ts, el, max_t)
+            o = jnp.where(el[None, :], origin, o)
+            d = jnp.where(el[None, :], wi, d)
+            is_shadow = is_shadow | el
+            early = early | el
+            # NOTE prays is NOT incremented here: it mirrors the `rays`
+            # tally, which counts NEE shadows at shade (ns.active) so the
+            # metric stays schedule-invariant; the transition adds the
+            # early lanes' shadow there
+            relaunched = done_sh | el
+        else:
+            relaunched = done_sh
+
+        inv_d = jnp.where(relaunched[None, :], lm.safe_inv_dirT(d),
+                          s.inv_d)
         return s._replace(ts=ts, o=o, d=d, inv_d=inv_d, is_shadow=is_shadow,
-                          li=li, pending=pending, rays=rays,
-                          prays=s.prays + done_sh.astype(jnp.int32))
+                          early=early, h_point=h_point, h_d=h_d, h_t=h_t,
+                          h_tri=h_tri, h_u=h_u, h_v=h_v,
+                          li=li, pending=pending, rays=rays, prays=prays)
 
     def make_cond(cnt, tail_w: int = 0):
         """Loop condition; with tail_w set, the loop ALSO stops once the
@@ -523,7 +650,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             (ts.flag >= 0).astype(jnp.int32)))
                 s = s._replace(ts=ts)
                 if g + 1 < msplit:
-                    s = mini(s)
+                    # the early-NEE block (draws + light math) is too
+                    # costly for every mini (measured: every-mini -11%
+                    # vs off); fire it once mid-window
+                    s = mini(s, gbase,
+                             do_early=(g == (msplit - 1) // 2))
             s = s._replace(it=s.it + 1)
             return transition(s, pxc, pyc, gbase, cnt, qidx)
         return body
@@ -553,6 +684,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             o=go, d=gd,
             inv_d=lm.safe_inv_dirT(gd),
             is_shadow=jnp.zeros((mw,), bool),
+            early=jnp.zeros((mw,), bool),
+            h_point=z3, h_d=dx0,
+            h_t=jnp.zeros((mw,), jnp.float32),
+            h_tri=jnp.full((mw,), -1, jnp.int32),
+            h_u=jnp.zeros((mw,), jnp.float32),
+            h_v=jnp.zeros((mw,), jnp.float32),
             next_px=jnp.minimum(jnp.int32(mw), cnt),
             ret_count=jnp.zeros((mw,), jnp.int32),
             prays=live.astype(jnp.int32),

@@ -122,11 +122,14 @@ class MatT(NamedTuple):
     trans_tex_height: jax.Array
 
 
-def shade_dataT(scene, oT, dT, hit):
+def shade_dataT(scene, oT, dT, hit, point=None):
     """ONE packed-row gather -> (lane-major info dict, MatT rows).
 
     Lane-major port of ops/traverse.shade_data (row layout documented at
-    scene/scene.py:_pack_shade_rows); oT/dT are [3,N]."""
+    scene/scene.py:_pack_shade_rows); oT/dT are [3,N]. `point` overrides
+    the o + d*t hit-point computation (callers that saved the point
+    earlier, e.g. the mega engine's early-NEE lanes, pass it so the
+    floats are bit-identical to the original computation)."""
     tic = jnp.maximum(hit.tri, 0)
     rowT = scene.tri_shade_row[tic].T                    # THE gather [48,N]
     w0 = 1.0 - hit.u - hit.v
@@ -139,7 +142,7 @@ def shade_dataT(scene, oT, dT, hit):
           + rowT[13:15] * hit.v[None, :])
     ints = _i32(rowT[18:21])
     info = dict(
-        point=oT + dT * hit.t[None, :],
+        point=point if point is not None else oT + dT * hit.t[None, :],
         normal=nrm,
         uv=uv,
         emission=rowT[15:18],

@@ -70,6 +70,31 @@ def test_mega_schedule_invariance():
     assert (np.abs(a - b) < 1e-5).mean() > 0.9
 
 
+def test_mega_early_nee_overlap_invariant():
+    """mini_splits > 1 fires the early-NEE overlap (the mini launches a
+    drained closest lane's NEE shadow before the shade). The image and
+    ray counts must match the no-mini schedule exactly — the draws are
+    counter-keyed and the shade recomputes the identical light sample.
+    The specular-spheres scene exercises the speculative-cancel path
+    (early launches on specular hits are canceled at shade)."""
+    for mesh in (builtin.cornell_with_blocks(), builtin.cornell_with_spheres()):
+        scene, _ = build_scene(mesh, builtin_materials())
+        cam = Camera.pinhole((0.0, 0.0, 1.0), 8, 8, 0.0, 0.0, 0.0, 60.0)
+        px, py = jnp.meshgrid(jnp.arange(8), jnp.arange(8))
+        px, py = px.ravel(), py.ravel()
+        key = rng.base_key()
+        l1, r1 = unidirectional_mega.render_sample(
+            scene, cam, key, 2, px, py, max_depth=6, width=40,
+            steps_per_iter=4, mini_splits=4, early_nee=True)
+        l2, r2 = unidirectional_mega.render_sample(
+            scene, cam, key, 2, px, py, max_depth=6, width=40,
+            steps_per_iter=4, mini_splits=1)
+        assert int(r1) == int(r2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=5e-3)
+        assert (np.abs(np.asarray(l1) - np.asarray(l2)) < 1e-5).mean() > 0.9
+
+
 def test_mega_two_stage_tail_matches_single_stage(monkeypatch):
     """The narrow tail stage re-renders straggler pixels from scratch; the
     pixel-keyed RNG makes the replay exact, so image AND ray counts must
