@@ -33,19 +33,26 @@ except Exception:  # pragma: no cover
     pass
 
 # ---------------------------------------------------------------------------
-# Heavy-compile isolation: the mega-engine VCM/BDPT modules carry the
-# suite's biggest XLA graphs, and XLA:CPU has been observed to flakily
-# segfault inside backend_compile late in a long suite run (the same module
-# passes in isolation). They are therefore collected OUT of the in-process
-# run and executed in fresh subprocesses by tests/test_heavy_isolated.py —
-# one compiler crash can then fail one wrapper test instead of killing the
+# Heavy-compile isolation: the mega-engine VCM/BDPT modules (and the
+# many-config classic VCM module) carry the suite's biggest XLA graphs,
+# and XLA:CPU has been observed to flakily segfault inside
+# backend_compile late in a long suite run (the same modules pass in
+# isolation; observed at test 134/139 in round 2 and on test_vcm.py's
+# last test in round 3). They are therefore collected OUT of the
+# in-process run and executed in fresh subprocesses by
+# tests/test_heavy_isolated.py — one compiler crash can then fail one
+# wrapper test (with one retry for signal exits) instead of killing the
 # whole pytest process. Run them directly with TPT_HEAVY_DIRECT=1, e.g.
 #   TPT_HEAVY_DIRECT=1 python -m pytest tests/test_vcm_mega.py
-HEAVY_MODULES = {"test_vcm_mega.py", "test_bdpt_mega.py"}
+# The smoke tier (-m smoke) keeps collecting them in-process: its subset
+# is small and starts from a fresh process anyway.
+HEAVY_MODULES = {"test_vcm_mega.py", "test_bdpt_mega.py", "test_vcm.py"}
 
 
 def pytest_ignore_collect(collection_path, config):
     if os.environ.get("TPT_HEAVY_DIRECT") == "1":
+        return None
+    if "smoke" in (config.getoption("-m") or ""):
         return None
     if collection_path.name in HEAVY_MODULES:
         return True

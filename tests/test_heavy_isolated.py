@@ -23,14 +23,22 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run_module(name: str):
     env = {**os.environ, "TPT_HEAVY_DIRECT": "1"}
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", os.path.join("tests", name),
-         "-q", "-x"],
-        cwd=_ROOT, env=env, capture_output=True, text=True, timeout=3600)
-    if r.returncode != 0:
-        pytest.fail(f"{name} failed in isolated subprocess "
-                    f"(rc={r.returncode}):\n"
-                    f"{r.stdout[-6000:]}\n{r.stderr[-3000:]}")
+    for attempt in (0, 1):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", os.path.join("tests", name),
+             "-q", "-x"],
+            cwd=_ROOT, env=env, capture_output=True, text=True,
+            timeout=3600)
+        if r.returncode == 0:
+            return
+        # signal exits (segfault/abort = 128+N) are the flaky XLA:CPU
+        # compiler crash this wrapper exists for — retry once in a fresh
+        # process; real test failures (rc 1) fail immediately
+        if r.returncode < 128 or attempt == 1:
+            break
+    pytest.fail(f"{name} failed in isolated subprocess "
+                f"(rc={r.returncode}):\n"
+                f"{r.stdout[-6000:]}\n{r.stderr[-3000:]}")
 
 
 def test_vcm_mega_isolated():
@@ -39,3 +47,7 @@ def test_vcm_mega_isolated():
 
 def test_bdpt_mega_isolated():
     _run_module("test_bdpt_mega.py")
+
+
+def test_vcm_isolated():
+    _run_module("test_vcm.py")
