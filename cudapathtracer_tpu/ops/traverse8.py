@@ -48,7 +48,12 @@ from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
 # negligible down to 14 (lane-steps/ray 14.5 flat) and blow up below
 # (15.5/17.0). One-hot top-pointer stacks measured no better than shifts
 # (tools/stack_bench.py at the production width).
-STACK_D = int(_os.environ.get("TPT_STACK_D", "14"))
+# Round-3 re-sweep after the HYBRID rows (same-window, spi=6/w=9720):
+# D=12/14/16/18/20 -> 11.23/11.81/12.75/12.43/11.33 — the optimum moved
+# UP to 16 (inline absorption removed the shallow leaf pushes, so the
+# surviving stack entries skew deeper). Restarts are unaffected (a
+# deeper stack only loses less); images are bit-identical across D.
+STACK_D = int(_os.environ.get("TPT_STACK_D", "16"))
 MAX_RESTARTS = 3
 
 # Batcher odd-even merge sort network for 8 elements (19 comparators)
