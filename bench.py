@@ -190,16 +190,95 @@ def _guarded(deadline, name, est_s, fn):
                "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"})
 
 
-def run_suite(args, key, deadline):
-    """Suite lines in EVIDENTIARY priority order (the deadline cuts from
-    the tail): BASELINE configs 1/2/4 -> the reference's shipped config6
-    workload -> the photon-family integrator lines (vcm/sppm mega +
-    classic) -> the cheap per-integrator telemetry lines -> the BDPT
-    lines -> the config5 multichip dryrun LAST (the driver separately
-    validates the same dryrun and records MULTICHIP_r0N.json, so this
-    line is redundant evidence)."""
-    from cudapathtracer_tpu.models import (bdpt, naive, unidirectional,
-                                           unidirectional_mega, vcm)
+def _aot_step(inner, ctx, batch):
+    """AOT-compile `inner(scene,cam,key,s,px,py)` (batched device-side when
+    batch > 1 — models/batch.py, bit-identical) WITHOUT executing it.
+
+    Returns step(s0) -> (li, rays, ...) advancing `batch` samples. The
+    compile runs wherever the caller is (a background thread, for the
+    overlapped suite); the first EXECUTION stays with the measuring
+    thread."""
+    import jax.numpy as _jnp
+    scene, cam, key, px, py = ctx
+    if batch > 1:
+        from cudapathtracer_tpu.models.batch import make_batched
+        bf = make_batched(inner)
+        compiled = bf.lower(scene, cam, key, _jnp.int32(0), px, py,
+                            k=batch).compile()
+    else:
+        jf = jax.jit(lambda sc, c, k2, s, ipx, ipy:
+                     inner(sc, c, k2, s, ipx, ipy))
+        compiled = jf.lower(scene, cam, key, _jnp.int32(0), px,
+                            py).compile()
+    return lambda s0: compiled(scene, cam, key, _jnp.int32(s0), px, py)
+
+
+def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
+                 headline_mrays=None):
+    """Time a prebuilt AOT step over best_of windows (fastest reported —
+    same tunnel-noise discipline as bench_inner)."""
+    k = max(batch, 1)
+    out = step(0)
+    _ = float(out[0].sum())  # first execution: load + warmup barrier
+    dt_sum = 0.0
+    rays_sum = 0
+    best = None
+    acc = None
+    for wdw in range(max(best_of, 1)):
+        rtot = 0
+        s = 1 + wdw * spp
+        end = s + spp
+        t0 = time.perf_counter()
+        while s < end:
+            out = step(s)
+            li, rays = out[0], out[1]
+            acc = li if acc is None else acc + li
+            rtot += int(rays)
+            s += k
+            _ = float(rays)  # bounded in-flight queue through the tunnel
+        img = np.asarray(acc)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(img).all(), "NaN/Inf in benchmark render"
+        dt_sum += dt
+        rays_sum += rtot
+        if best is None or rtot / dt > best[0] / best[1]:
+            best = (rtot, dt)
+    rays, dt = best
+    mrays = rays / dt / 1e6
+    result = {
+        "metric": metric, "value": round(mrays, 3), "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "spp_per_s": round(spp / dt, 4), "rays": rays,
+        "seconds": round(dt, 3),
+    }
+    if best_of > 1:
+        result["windows"] = best_of
+        result["mean_mrays"] = round(rays_sum / dt_sum / 1e6, 3)
+    if headline_mrays:
+        # same-hour tunnel-noise anchor: this line relative to THIS run's
+        # headline (absolute numbers swing 2-3x hour to hour; the ratio
+        # is the round-over-round comparable quantity)
+        result["headline_ratio"] = round(mrays / headline_mrays, 4)
+    result.update(extra or {})
+    return result
+
+
+def run_suite(args, key, deadline, headline_mrays=None):
+    """Suite lines with OVERLAPPED COMPILATION (round-4 redesign: round 3
+    lost 8 of 16 lines to the deadline, and ~95% of every line's cost was
+    its XLA compile, which is local CPU work — so a background thread pool
+    AOT-compiles the lines via jit.lower().compile() while the main thread
+    measures whichever executable is ready; device execution stays
+    exclusively on the main thread). Compiles are submitted in EVIDENTIARY
+    priority order (photon family first — the round-over-round regression
+    watch), measurement consumes futures as they complete, and the
+    deadline skips un-compiled lines instead of dying. BENCH_SERIAL=1
+    restores the round-3 serial path."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+    from cudapathtracer_tpu.models import (bdpt, bdpt_mega, naive,
+                                           unidirectional,
+                                           unidirectional_mega, vcm,
+                                           vcm_mega)
     from cudapathtracer_tpu.scene import builtin
     from cudapathtracer_tpu.scene.camera import Camera
     from cudapathtracer_tpu.scene.materials import builtin_materials
@@ -210,139 +289,186 @@ def run_suite(args, key, deadline):
     # floor + per-sample readback dominate; batch samples into one
     # dispatch (bit-identical — tests/test_batch.py)
     batch = args.batch if args.batch > 0 else min(args.spp, 4)
-    suite_bo = max(args.best_of, 1)
+    # cheap tier: suite lines run ONE timing window by default (their
+    # absolute numbers are tunnel-noisy either way; headline_ratio is the
+    # comparable quantity) — the HEADLINE and the photon-family lines keep
+    # best-of windows (--best-of) as the round's verified records.
+    cheap_bo = 1
+    photon_bo = max(args.best_of, 1)
 
-    # ---- BASELINE config 1: Cornell box, Lambertian + area light, 512^2
+    # ---- scenes (native BVH build — cheap, serial) ----
     scene, _ = build_scene(builtin.cornell_with_blocks(), mats)
+    scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
+    mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
+    scene4, _ = build_scene(mesh4, mats)
+
     w = h = 512
     cam = Camera.pinhole((0.0, 0.0, 1.0), w, h, 0.0, 0.0, 0.0, 60.0)
     px, py = _grid(w, h)
-    _guarded(deadline, "config1 Cornell 512x512 mega", 90, lambda:
-             bench_mega(scene, cam, key, px, py, args.spp, args.width,
-                        "config1 Cornell 512x512 mega", batch=batch,
-                        best_of=suite_bo))
-
-    # ---- BASELINE config 2: specular (mirror + dielectric), 512^2
-    def line_config2():
-        scene2, _ = build_scene(builtin.cornell_with_spheres(), mats)
-        return bench_mega(scene2, cam, key, px, py, args.spp, args.width,
-                          "config2 specular mirror+glass 512x512 mega",
-                          batch=batch, best_of=suite_bo)
-    _guarded(deadline, "config2 specular mirror+glass 512x512 mega", 90,
-             line_config2)
-
-    # ---- BASELINE config 4: NEE + GGX microfacet with MIS, 512^2
-    def line_config4():
-        mesh4 = builtin.cornell_with_bunny(subdivisions=4, bunny_mat=7)
-        scene4, _ = build_scene(mesh4, mats)
-        return bench_mega(scene4, cam, key, px, py, args.spp, args.width,
-                          f"config4 NEE+GGX steel mesh({mesh4.num_triangles})"
-                          " 512x512 mega", batch=batch, best_of=suite_bo)
-    _guarded(deadline, "config4 NEE+GGX 512x512 mega", 90, line_config4)
-
-    # ---- config6: the reference's SHIPPED workload (configs/config.
-    # rendertron:3-28 — 800x800 VCM, eye depth 16, light depth 10) on the
-    # persistent mega engine, spp-normalized
-    def line_config6():
-        from cudapathtracer_tpu.models import vcm_mega
-        wr = hr = 800
-        cam_r = Camera.pinhole((0.0, 0.0, 1.0), wr, hr, 0.0, 0.0, 0.0, 60.0)
-        pxr, pyr = _grid(wr, hr)
-        vcfg_r = vcm.VCMConfig(eye_depth=16, light_depth=10)
-        spp_r = max(args.spp // 2, 1)
-        dt, rays, _ = _time_samples(
-            lambda s: vcm_mega.render_sample(scene, cam_r, key, s, pxr,
-                                             pyr, cfg=vcfg_r, grid_w=wr),
-            spp_r)
-        mrays = rays / dt / 1e6
-        return {"metric": "config6 reference-shipped VCM 800x800 "
-                          "eye16/light10 mega",
-                "value": round(mrays, 3), "unit": "Mrays/s",
-                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-                "spp_per_s": round(spp_r / dt, 4), "rays": rays,
-                "seconds": round(dt, 3),
-                "s_per_sample": round(dt / spp_r, 2)}
-    if not args.skip_suite_slow:
-        _guarded(deadline, "config6 reference-shipped VCM 800x800", 200,
-                 line_config6)
-
-    # ---- per-integrator small workload: 256^2 Cornell, fixed depths
     ws = hs = 256
     cam_s = Camera.pinhole((0.0, 0.0, 1.0), ws, hs, 0.0, 0.0, 0.0, 60.0)
     pxs, pys = _grid(ws, hs)
     spp_s = max(args.spp // 2, 1)
+    wr = hr = 800
+    cam_r = Camera.pinhole((0.0, 0.0, 1.0), wr, hr, 0.0, 0.0, 0.0, 60.0)
+    pxr, pyr = _grid(wr, hr)
+    spp_r = max(args.spp // 2, 1)
 
-    def integrator_line(name, inner, est_s=90):
-        _guarded(deadline, f"integrator {name} 256x256 Cornell", est_s,
-                 lambda: bench_inner(
-                     inner, (scene, cam_s, key, pxs, pys), spp_s,
-                     f"integrator {name} 256x256 Cornell",
-                     batch=min(batch, spp_s), best_of=suite_bo))
+    def mega_inner(sc, c, k, s, ipx, ipy):
+        # width 0 = engine default (MEGA_WIDTH), like bench_mega
+        return unidirectional_mega.render_sample(
+            sc, c, k, s, ipx, ipy, max_depth=8,
+            width=min(args.width, int(ipx.shape[0])), grid_w=c.width)
 
-    # photon family first (the round-over-round regression watch the
-    # judge flagged); the cheap unidirectional telemetry lines after
-    if not args.skip_suite_slow:
-        from cudapathtracer_tpu.models import vcm_mega
-        vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
-        scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
-                             nee=False, naive=False, connection=False,
-                             do_mis=False, do_sppm=True)
-        integrator_line("vcm-mega", lambda sc, c, k, s, px, py:
-                        vcm_mega.render_sample(
-                            sc, c, k, s, px, py, cfg=vcfg,
-                            width=min(args.width, int(px.shape[0])),
-                            grid_w=ws), est_s=180)
-        integrator_line("sppm-mega", lambda sc, c, k, s, px, py:
-                        vcm_mega.render_sample(
-                            sc, c, k, s, px, py, cfg=scfg,
-                            width=min(args.width, int(px.shape[0])),
-                            grid_w=ws), est_s=180)
-        integrator_line("vcm", lambda sc, c, k, s, px, py:
-                        vcm.render_sample(sc, c, k, s, px, py, cfg=vcfg),
-                        est_s=120)
-        integrator_line("sppm", lambda sc, c, k, s, px, py:
-                        vcm.render_sample(sc, c, k, s, px, py, cfg=scfg),
-                        est_s=120)
+    vcfg = vcm.VCMConfig(eye_depth=6, light_depth=4)
+    scfg = vcm.VCMConfig(eye_depth=6, light_depth=4, light_trace=False,
+                         nee=False, naive=False, connection=False,
+                         do_mis=False, do_sppm=True)
+    vcfg_r = vcm.VCMConfig(eye_depth=16, light_depth=10)
+    bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
+    sw = min(args.width, ws * hs)  # 0 = engine default
 
-    integrator_line("naive", lambda sc, c, k, s, px, py:
-                    naive.render_sample(sc, c, k, s, px, py, max_depth=6))
-    integrator_line("unidirectional-classic",
-                    lambda sc, c, k, s, px, py: unidirectional.render_sample(
-                        sc, c, k, s, px, py, max_depth=6))
-    integrator_line("unidirectional-mega",
-                    lambda sc, c, k, s, px, py:
-                    unidirectional_mega.render_sample(
-                        sc, c, k, s, px, py, max_depth=6,
-                        width=min(args.width, int(px.shape[0])),
-                        grid_w=ws))
-    if not args.skip_suite_slow:
-        bcfg = bdpt.BDPTConfig(eye_depth=6, light_depth=4)
-        integrator_line("bdpt", lambda sc, c, k, s, px, py:
-                        bdpt.render_sample(sc, c, k, s, px, py, cfg=bcfg))
-        from cudapathtracer_tpu.models import bdpt_mega
-        integrator_line("bdpt-mega", lambda sc, c, k, s, px, py:
-                        bdpt_mega.render_sample(
-                            sc, c, k, s, px, py, cfg=bcfg,
-                            width=min(args.width, int(px.shape[0])),
-                            grid_w=ws), est_s=150)
+    # (name, spp, batch, best_of, inner, ctx, extra) — priority order
+    specs = [
+        ("config6 reference-shipped VCM 800x800 eye16/light10 mega",
+         spp_r, 1, 1,
+         lambda sc, c, k, s, ipx, ipy: vcm_mega.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=vcfg_r, grid_w=wr),
+         (scene, cam_r, key, pxr, pyr), "s_per_sample"),
+        ("integrator vcm-mega 256x256 Cornell", spp_s,
+         min(batch, spp_s), photon_bo,
+         lambda sc, c, k, s, ipx, ipy: vcm_mega.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=vcfg, width=sw, grid_w=ws),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator sppm-mega 256x256 Cornell", spp_s,
+         min(batch, spp_s), photon_bo,
+         lambda sc, c, k, s, ipx, ipy: vcm_mega.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=scfg, width=sw, grid_w=ws),
+         (scene, cam_s, key, pxs, pys), None),
+        ("config1 Cornell 512x512 mega", args.spp, batch, cheap_bo,
+         mega_inner, (scene, cam, key, px, py), None),
+        ("config2 specular mirror+glass 512x512 mega", args.spp, batch,
+         cheap_bo, mega_inner, (scene2, cam, key, px, py), None),
+        (f"config4 NEE+GGX steel mesh({mesh4.num_triangles}) 512x512 mega",
+         args.spp, batch, cheap_bo, mega_inner,
+         (scene4, cam, key, px, py), None),
+        ("integrator vcm 256x256 Cornell", spp_s, min(batch, spp_s),
+         cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: vcm.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=vcfg),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator sppm 256x256 Cornell", spp_s, min(batch, spp_s),
+         cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: vcm.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=scfg),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator naive 256x256 Cornell", spp_s, min(batch, spp_s),
+         cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: naive.render_sample(
+             sc, c, k, s, ipx, ipy, max_depth=6),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator unidirectional-classic 256x256 Cornell", spp_s,
+         min(batch, spp_s), cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: unidirectional.render_sample(
+             sc, c, k, s, ipx, ipy, max_depth=6),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator unidirectional-mega 256x256 Cornell", spp_s,
+         min(batch, spp_s), cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: unidirectional_mega.render_sample(
+             sc, c, k, s, ipx, ipy, max_depth=6, width=sw, grid_w=ws),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator bdpt 256x256 Cornell", spp_s, min(batch, spp_s),
+         cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: bdpt.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=bcfg),
+         (scene, cam_s, key, pxs, pys), None),
+        ("integrator bdpt-mega 256x256 Cornell", spp_s, min(batch, spp_s),
+         cheap_bo,
+         lambda sc, c, k, s, ipx, ipy: bdpt_mega.render_sample(
+             sc, c, k, s, ipx, ipy, cfg=bcfg, width=sw, grid_w=ws),
+         (scene, cam_s, key, pxs, pys), None),
+    ]
+    if args.skip_suite_slow:
+        slow = ("vcm", "sppm", "bdpt", "config6")
+        specs = [s for s in specs if not any(t in s[0] for t in slow)]
 
     # ---- BASELINE config 5: multi-chip — virtual 8-device CPU mesh dryrun
     # (correctness stand-in; real multi-chip hardware is not attached).
-    # LAST: the driver independently runs the same dryrun per round.
+    # Runs as a BACKGROUND SUBPROCESS for the whole suite (pure CPU work —
+    # doesn't contend with the TPU measurements); collected at the end.
+    # The driver independently runs the same dryrun per round.
+    t_c5 = time.perf_counter()
+    proc_c5 = subprocess.Popen(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "JAX_PLATFORM_NAME": "cpu"},
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+
+    def measure_spec(spec, step):
+        name, spp, bat, bo, _inner, _ctx, extra_kind = spec
+        result = _measure_aot(step, spp, bat, bo, name,
+                              headline_mrays=headline_mrays)
+        if extra_kind == "s_per_sample":
+            result["s_per_sample"] = round(result["seconds"] / spp, 2)
+        return result
+
+    if os.environ.get("BENCH_SERIAL"):
+        for spec in specs:
+            name, spp, bat, bo, inner, ctx, _x = spec
+            _guarded(deadline, name, 90, lambda spec=spec: measure_spec(
+                spec, _aot_step(spec[4], spec[5], spec[2])))
+    else:
+        workers = int(os.environ.get("BENCH_COMPILE_WORKERS", "3"))
+        pool = ThreadPoolExecutor(max_workers=workers)
+        futs = {}
+        for spec in specs:
+            name = spec[0]
+            futs[pool.submit(_aot_step, spec[4], spec[5], spec[2])] = spec
+        pending = set(futs)
+        try:
+            while pending:
+                budget = deadline.remaining() - 45.0
+                if budget <= 0:
+                    break
+                done, pending = wait(pending, timeout=budget,
+                                     return_when=FIRST_COMPLETED)
+                if not done:
+                    break
+                for fut in done:
+                    spec = futs[fut]
+                    name = spec[0]
+                    if not deadline.allow(name, est_s=20.0):
+                        continue
+                    try:
+                        _emit(measure_spec(spec, fut.result()))
+                    except Exception as e:
+                        traceback.print_exc(file=sys.stderr)
+                        _emit({"metric": name, "value": 0, "unit": "error",
+                               "vs_baseline": 0.0,
+                               "error": f"{type(e).__name__}: {e}"})
+        finally:
+            for spec in (futs[f] for f in pending):
+                deadline.skipped.append(spec[0])
+            pool.shutdown(wait=False, cancel_futures=True)
+
     def line_config5():
-        t0 = time.perf_counter()
-        budget = max(min(deadline.remaining() - 30, 1200), 60)
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
-            capture_output=True, timeout=budget)
+        budget = max(deadline.remaining() - 20, 10)
+        try:
+            _, err = proc_c5.communicate(timeout=budget)
+            rc = proc_c5.returncode
+            if rc != 0:
+                sys.stderr.write(err.decode(errors="replace")[-2000:])
+        except subprocess.TimeoutExpired:
+            proc_c5.kill()
+            proc_c5.communicate()
+            rc = -1
         return {"metric": "config5 multichip dryrun 8-device virtual mesh",
-                "value": 8 if r.returncode == 0 else 0, "unit": "devices_ok",
-                "vs_baseline": 1.0 if r.returncode == 0 else 0.0,
-                "seconds": round(time.perf_counter() - t0, 1)}
-    _guarded(deadline, "config5 multichip dryrun", 120, line_config5)
+                "value": 8 if rc == 0 else 0, "unit": "devices_ok",
+                "vs_baseline": 1.0 if rc == 0 else 0.0,
+                "seconds": round(time.perf_counter() - t_c5, 1)}
+    _guarded(deadline, "config5 multichip dryrun", 15, line_config5)
 
 
 def main():
@@ -450,7 +576,8 @@ def main():
     _emit(result)  # the round's north-star number: out the door immediately
 
     if not (args.small or args.headline_only):
-        run_suite(args, key, deadline)
+        run_suite(args, key, deadline,
+                  headline_mrays=result.get("value") or None)
 
     # re-emit the headline as the FINAL line so tail parsers (the driver
     # records the last JSON line) see the north-star metric
