@@ -222,6 +222,7 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
     _ = float(out[0].sum())  # first execution: load + warmup barrier
     dt_sum = 0.0
     rays_sum = 0
+    ctr_sum = 0  # trailing scalar counter (e.g. VCM merge-cap drops)
     best = None
     acc = None
     for wdw in range(max(best_of, 1)):
@@ -234,6 +235,8 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
             li, rays = out[0], out[1]
             acc = li if acc is None else acc + li
             rtot += int(rays)
+            if len(out) > 2:
+                ctr_sum += int(out[2])
             s += k
             _ = float(rays)  # bounded in-flight queue through the tunnel
         img = np.asarray(acc)
@@ -259,6 +262,8 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
         # headline (absolute numbers swing 2-3x hour to hour; the ratio
         # is the round-over-round comparable quantity)
         result["headline_ratio"] = round(mrays / headline_mrays, 4)
+    if ctr_sum:
+        result["merge_dropped"] = ctr_sum
     result.update(extra or {})
     return result
 
@@ -333,7 +338,8 @@ def run_suite(args, key, deadline, headline_mrays=None):
         ("config6 reference-shipped VCM 800x800 eye16/light10 mega",
          spp_r, 1, 1,
          lambda sc, c, k, s, ipx, ipy: vcm_mega.render_sample(
-             sc, c, k, s, ipx, ipy, cfg=vcfg_r, grid_w=wr),
+             sc, c, k, s, ipx, ipy, cfg=vcfg_r, grid_w=wr,
+             count_merge_dropped=True),
          (scene, cam_r, key, pxr, pyr), "s_per_sample"),
         ("integrator vcm-mega 256x256 Cornell", spp_s,
          min(batch, spp_s), photon_bo,

@@ -192,10 +192,16 @@ class Renderer:
             vcfg = vcm_mod.VCMConfig.from_config(cfg)
             if cfg.engine == "mega":
                 from cudapathtracer_tpu.models import vcm_mega
+                count_drop_m = vcfg.do_merge
+
                 def inner(scene, camera, key, sample_idx, px, py):
+                    # merge-cap observability on the PRODUCTION engine too
+                    # (the classic path below grew this in round 3; the
+                    # default mega path silently truncated until round 4)
                     return vcm_mega.render_sample(
                         scene, camera, key, sample_idx, px, py,
-                        cfg=vcfg, grid_w=cfg.width)
+                        cfg=vcfg, grid_w=cfg.width,
+                        count_merge_dropped=count_drop_m)
                 return inner
             count_drop = vcfg.do_merge
 

@@ -229,6 +229,12 @@ class _VState(NamedTuple):
     #                       resolves slots to pixels — see
     #                       unidirectional_mega._MState.acc for the
     #                       packing rationale
+    dropped: jax.Array    # scalar i32: candidate photons truncated by the
+    #                       static max_per_cell merge cap (the reference's
+    #                       merge visits cells unboundedly,
+    #                       deviceCode.cu:2968-3048) — always counted
+    #                       (one cheap [mw] op per fold), surfaced by
+    #                       render_sample(count_merge_dropped=True)
 
 
 def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
@@ -281,7 +287,8 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
         nxt_o=z3, nxt_d=dx0, nxt_thr=jnp.ones((3, w), jnp.float32),
         nxt_pdf_sa=zw, nxt_cos=zw,
         ret_pid=jnp.full((k_slots, w), -1, jnp.int32),
-        acc=jnp.zeros((k_slots, w), jnp.uint32))
+        acc=jnp.zeros((k_slots, w), jnp.uint32),
+        dropped=jnp.int32(0))
 
 
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
@@ -474,6 +481,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         drained = (ts.flag < 0) & (s.pid >= 0)
         gpid = gbase + jnp.maximum(s.pid, 0)
         rays = s.rays
+        dropped = s.dropped
         n_conn = lpath_len[jnp.maximum(s.pid, 0)]  # valid light verts/lane
 
         # ---- 1. resolve finished shadow phases -------------------------
@@ -673,15 +681,17 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
                 if compact_merge:
-                    li_m = hashgrid.fold_neighbors(
+                    li_m, drop_add = hashgrid.fold_neighbors(
                         grid, npos_m.T, mr, cfg.max_per_cell, merge_fold,
-                        jnp.zeros_like(npos_m), active=active_m)
+                        jnp.zeros_like(npos_m), active=active_m,
+                        count_dropped=True)
                     li = li.at[:, m_idx].add(
                         jnp.where(sub_ok[None, :], li_m, 0.0))
                 else:
-                    li = hashgrid.fold_neighbors(
+                    li, drop_add = hashgrid.fold_neighbors(
                         grid, npos_m.T, mr, cfg.max_per_cell, merge_fold,
-                        li, active=active_m)
+                        li, active=active_m, count_dropped=True)
+                dropped = dropped + drop_add
 
             # ---- stage next-bounce registers
             w_thr = thr * f_val * (jnp.abs(wi_local[2])
@@ -849,7 +859,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                        mstate.d_vcm, mstate.d_vc, mstate.d_vm,
                        mstate.pdf_rev_prev, mstate.prev_was_delta, alive,
                        nxt_o, nxt_d, nxt_thr, nxt_pdf_sa, nxt_cos,
-                       ret_pid, acc)
+                       ret_pid, acc, dropped)
 
     def cond(s: _VState):
         more_px = (s.next_px < cnt) & jnp.any(s.ret_count < k_slots)
@@ -876,12 +886,13 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "chunk_pixels",
                                    "steps_per_iter", "mini_splits",
-                                   "debug_counters", "grid_w", "merge_w"))
+                                   "debug_counters", "grid_w", "merge_w",
+                                   "count_merge_dropped"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   cfg: VCMConfig, width: int = 0, chunk_pixels: int = 0,
                   steps_per_iter: int = 0, mini_splits: int = 0,
                   debug_counters: bool = False, grid_w: int = 0,
-                  merge_w: int = 0):
+                  merge_w: int = 0, count_merge_dropped: bool = False):
     """One progressive VCM/SPPM sample -> (radiance [P,3], rays).
 
     Persistent-eye-pass counterpart of models/vcm.render_sample (which
@@ -929,7 +940,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     fb0 = jnp.zeros((n_chunks * c_pix, 3), jnp.float32)
 
     def chunk_body(carry, ci):
-        fb_full, rays_tot, its, fires = carry
+        fb_full, rays_tot, its, fires, drops = carry
         if grid_w:
             # once-per-chunk arrays (light-path pairing ids); the eye
             # machine itself never gathers them — coords are arithmetic.
@@ -1001,13 +1012,15 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         pids = out.ret_pid.reshape(-1)
         chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
             jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
-        return ((fb_full, rays_tot, its + out.it, fires + out.fires),
-                chunk_img)
+        return ((fb_full, rays_tot, its + out.it, fires + out.fires,
+                 drops + out.dropped), chunk_img)
 
-    carry0 = (fb0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    (fb_full, rays, its, fires), accs = jax.lax.scan(
+    carry0 = (fb0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    (fb_full, rays, its, fires, drops), accs = jax.lax.scan(
         chunk_body, carry0, jnp.arange(n_chunks, dtype=jnp.int32))
     li = accs.reshape(-1, 3)[:p_total] + fb_full[:p_total]
     if debug_counters:
         return li, rays, its, fires
+    if count_merge_dropped:
+        return li, rays, drops
     return li, rays

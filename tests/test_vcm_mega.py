@@ -105,3 +105,26 @@ def test_sppm_mega_mode_runs(setup):
     v = rend(setup, vcm_mega.render_sample, 16, cfg=cfg)
     assert np.isfinite(v).all()
     assert v.mean() > 0.02
+
+
+def test_vcm_mega_reports_merge_dropped(setup):
+    """Driver-facing merge-cap counter on the PRODUCTION engine (round-3
+    VERDICT: the classic path counted, the default mega path silently
+    truncated). A tiny cap with a fat radius must fire on the Cornell
+    scene; counting must not change the image or ray tally."""
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=4, light_depth=4, max_per_cell=1,
+                        r0_multiplier=0.05)
+    li, rays, dropped = vcm_mega.render_sample(
+        scene, cam, key, 0, px, py, cfg=cfg, count_merge_dropped=True)
+    li2, rays2 = vcm_mega.render_sample(scene, cam, key, 0, px, py,
+                                        cfg=cfg)
+    assert int(dropped) > 0
+    assert int(rays) == int(rays2)
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(li2))
+    # counter quiet when the cap is ample
+    cfg_ok = vcm.VCMConfig(eye_depth=4, light_depth=4, max_per_cell=64)
+    _, _, d2 = vcm_mega.render_sample(scene, cam, key, 0, px, py,
+                                      cfg=cfg_ok, count_merge_dropped=True)
+    assert int(d2) == 0
