@@ -24,14 +24,23 @@ from cudapathtracer_tpu.utils.obj import MeshData
 @jax.tree_util.register_dataclass
 @dataclass
 class Scene:
-    # --- triangles, BVH-permuted order ---
-    tri_pack: jax.Array     # [T, 9] f32: v0.xyz, e1.xyz, e2.xyz (traversal hot data)
-    tri_n: jax.Array        # [T, 3, 3] f32 vertex normals (a, b, c)
-    tri_uv: jax.Array       # [T, 3, 2] f32 vertex uvs
-    tri_mat: jax.Array      # [T] i32
-    tri_emission: jax.Array  # [T, 3] f32
-    tri_light: jax.Array    # [T] i32, -1 = not a light
-    tri_area: jax.Array     # [T] f32
+    # --- triangles, BVH-permuted order: ONE consolidated f32 block + ONE
+    # i32 block. The axon tunnel pays a per-NEW-SHAPE transfer setup of
+    # ~15-50 ms (measured round 4: a 26-leaf pytree of fresh shapes
+    # uploads in 1.36 s, the same shapes again in 2 ms, one 33 MB array
+    # in 86 ms), so nine separate [T,*] leaves dominated scene build.
+    # Consumers read the old names through properties — inside jit the
+    # slices trace for free. Column layout of tri_f32:
+    #   [0:9]   tri_pack: v0.xyz, e1.xyz, e2.xyz (traversal hot data)
+    #   [9:18]  vertex normals a,b,c (flattened [T,3,3])
+    #   [18:24] vertex uvs (flattened [T,3,2])
+    #   [24:27] emission
+    #   [27]    area
+    #   [28:76] shade row (see tri_shade_row property comment below)
+    #   [76]    mat_id (i32 bitcast)
+    #   [77]    light_ind (i32 bitcast; -1 = not a light)
+    #   [78:94] shadow detail row (only when has_leaf_materials)
+    tri_f32: jax.Array      # [T, 78 or 94] f32
 
     # --- BVH root bounds row [1, 6] f32 (min xyz, max xyz). Device
     # consumers only ever need the ROOT AABB (hash-grid scene_min,
@@ -57,36 +66,15 @@ class Scene:
     # links and leaf triangles into one row turns ~5 gathers/step into 1.
     node_packed: jax.Array  # [M, W] f32
 
-    # --- shadow detail rows for MAT_LEAF transmission (one gather per hit):
-    # [0:9] vertex normals a,b,c; [9:12] albedo; [12] transmission; [13] ior
-    tri_shadow: jax.Array   # [T, 16] f32 (dummy [1,16] when no leaf materials)
-
-    # --- packed shading row: ONE [T,64] gather at a hit replaces the ~13
-    # separate gathers of interpolate_hit + MaterialTable.gather (each
-    # random-row gather pays a ~320 us latency floor on v5e regardless of
-    # width, so gather COUNT, not bytes, dominates shading cost).
-    # Layout (f32, ints/bools bitcast i32):
-    #   [0:9] n3 a,b,c  [9:15] uv3  [15:18] emission  [18] light_ind
-    #   [19] mat_id  [20] type  [21:24] albedo  [24] roughness  [25:28] eta
-    #   [28:31] k  [31] ior  [32] transmission  [33] is_specular
-    #   [34] boundary  [35] thin_walled  [36:39] absorption  [39] priority
-    #   [40:43] tex start/w/h  [43:46] trans_tex start/w/h  [46] tri area
-    #   [47] pad (width 48 = the used 47 columns rounded to a multiple of
-    #   8; the row was 64 with 17 pad floats — 5 MB of dead transfer at
-    #   82k tris)
-    tri_shade_row: jax.Array  # [T, 48] f32
-
     # --- BVH8 unified table (scene/bvh8.py): the default traversal engine
     bvh8_table: jax.Array   # [R, W] f32
 
-    # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling) ---
-    light_p0: jax.Array     # [L, 3]
-    light_p1: jax.Array     # [L, 3]
-    light_p2: jax.Array     # [L, 3]
-    light_normal: jax.Array  # [L, 3] (vertex-a normal, as the reference uses)
-    light_emission: jax.Array  # [L, 3]
-    light_area: jax.Array   # [L]
-    light_tri: jax.Array    # [L] i32 (permuted triangle index)
+    # --- lights (emissive triangles; deviceCode.cu:955-1010 sampling),
+    # consolidated like the triangle block (per-new-shape upload cost):
+    # [0:3] p0  [3:6] p1  [6:9] p2  [9:12] vertex-a normal (as the
+    # reference uses)  [12:15] emission  [15] area
+    # [16] permuted triangle index (i32 bitcast)
+    light_f32: jax.Array    # [L, 17] f32
 
     # --- materials + textures ---
     materials: MaterialTable
@@ -111,24 +99,109 @@ class Scene:
 
     @property
     def num_triangles(self) -> int:
-        return self.tri_pack.shape[0]
+        return self.tri_f32.shape[0]
 
     @property
     def num_nodes(self) -> int:
         return self.node_bounds.shape[0]
 
+    # --- consolidated-block views (free slices inside jit) ---
+    @property
+    def tri_pack(self):
+        return self.tri_f32[:, 0:9]
+
+    @property
+    def tri_n(self):
+        return self.tri_f32[:, 9:18].reshape(-1, 3, 3)
+
+    @property
+    def tri_uv(self):
+        return self.tri_f32[:, 18:24].reshape(-1, 3, 2)
+
+    @property
+    def tri_emission(self):
+        return self.tri_f32[:, 24:27]
+
+    @property
+    def tri_area(self):
+        return self.tri_f32[:, 27]
+
+    @property
+    def tri_shade_row(self):
+        """Packed shading row: ONE [T,48] gather at a hit replaces the ~13
+        separate gathers of interpolate_hit + MaterialTable.gather (each
+        random-row gather pays a ~320 us latency floor on v5e regardless
+        of width, so gather COUNT, not bytes, dominates shading cost).
+        Layout (f32, ints/bools bitcast i32):
+          [0:9] n3 a,b,c  [9:15] uv3  [15:18] emission  [18] light_ind
+          [19] mat_id  [20] type  [21:24] albedo  [24] roughness
+          [25:28] eta  [28:31] k  [31] ior  [32] transmission
+          [33] is_specular  [34] boundary  [35] thin_walled
+          [36:39] absorption  [39] priority  [40:43] tex start/w/h
+          [43:46] trans_tex start/w/h  [46] tri area  [47] pad"""
+        return self.tri_f32[:, 28:76]
+
+    @property
+    def tri_shadow(self):
+        """Shadow detail rows for MAT_LEAF transmission (one gather per
+        hit): [0:9] vertex normals a,b,c; [9:12] albedo;
+        [12] transmission; [13] ior. Only materialized (gathered) when
+        has_leaf_materials."""
+        if self.tri_f32.shape[1] >= 94:
+            return self.tri_f32[:, 78:94]
+        return jnp.zeros((1, 16), jnp.float32)
+
+    @property
+    def tri_mat(self):
+        return jax.lax.bitcast_convert_type(self.tri_f32[:, 76],
+                                            jnp.int32)
+
+    @property
+    def tri_light(self):
+        return jax.lax.bitcast_convert_type(self.tri_f32[:, 77],
+                                            jnp.int32)
+
+    @property
+    def light_p0(self):
+        return self.light_f32[:, 0:3]
+
+    @property
+    def light_p1(self):
+        return self.light_f32[:, 3:6]
+
+    @property
+    def light_p2(self):
+        return self.light_f32[:, 6:9]
+
+    @property
+    def light_normal(self):
+        return self.light_f32[:, 9:12]
+
+    @property
+    def light_emission(self):
+        return self.light_f32[:, 12:15]
+
+    @property
+    def light_area(self):
+        return self.light_f32[:, 15]
+
+    @property
+    def light_tri(self):
+        return jax.lax.bitcast_convert_type(self.light_f32[:, 16],
+                                            jnp.int32)
+
     # traversal views
     @property
     def tri_v0(self):
-        return self.tri_pack[:, 0:3]
+        return self.tri_f32[:, 0:3]
 
     @property
     def tri_e1(self):
-        return self.tri_pack[:, 3:6]
+        return self.tri_f32[:, 3:6]
 
     @property
     def tri_e2(self):
-        return self.tri_pack[:, 6:9]
+        return self.tri_f32[:, 6:9]
 
 
 def build_scene(mesh: MeshData, materials: list | MaterialTable,
@@ -222,44 +295,49 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     bvh8 = bvh8_mod.collapse(bvh, tri_pack, tri_is_leaf_mat,
                              leaf_tris=bvh8_leaf_tris, policy=policy)
 
-    if tri_is_leaf_mat.any():
-        t = tri_pack.shape[0]
-        tri_shadow = np.zeros((t, 16), np.float32)
-        tri_shadow[:, 0:9] = tri_n.reshape(t, 9)
-        tri_shadow[:, 9:12] = htab.albedo[tri_mat]
-        tri_shadow[:, 12] = htab.transmission[tri_mat]
-        tri_shadow[:, 13] = htab.ior[tri_mat]
-    else:
-        tri_shadow = np.zeros((1, 16), np.float32)
+    # assemble the whole scene host-side into CONSOLIDATED blocks, then
+    # upload with ONE batched jax.device_put. Two measured tunnel costs
+    # shape this: ~25 sequential puts each paid a round-trip (round 2 fix:
+    # one batched put), and every distinct LEAF SHAPE pays a ~15-50 ms
+    # one-time transfer setup (round 4 fix: nine [T,*] leaves -> two
+    # blocks; seven [L,*] leaves -> two). The reference's analogous upload
+    # is the cudaMemcpy block, main.cu:484-557.
+    t = tri_pack.shape[0]
+    tcols = 94 if tri_is_leaf_mat.any() else 78
+    tri_f32 = np.empty((t, tcols), np.float32)
+    tri_f32[:, 0:9] = tri_pack
+    tri_f32[:, 9:18] = tri_n.reshape(t, 9)
+    tri_f32[:, 18:24] = tri_uv.reshape(t, 6)
+    tri_f32[:, 24:27] = tri_emission
+    tri_f32[:, 27] = area
+    tri_f32[:, 28:76] = tri_shade_row
+    tri_f32[:, 76] = np.asarray(tri_mat, np.int32).view(np.float32)
+    tri_f32[:, 77] = np.asarray(tri_light, np.int32).view(np.float32)
+    if tcols == 94:
+        tri_f32[:, 78:87] = tri_n.reshape(t, 9)
+        tri_f32[:, 87:90] = htab.albedo[tri_mat]
+        tri_f32[:, 90] = htab.transmission[tri_mat]
+        tri_f32[:, 91] = htab.ior[tri_mat]
+        tri_f32[:, 92:94] = 0.0
+    nl = light_p0.shape[0]
+    light_f32 = np.empty((nl, 17), np.float32)
+    light_f32[:, 0:3] = light_p0
+    light_f32[:, 3:6] = light_p1
+    light_f32[:, 6:9] = light_p2
+    light_f32[:, 9:12] = light_normal
+    light_f32[:, 12:15] = light_emission
+    light_f32[:, 15] = light_area
+    light_f32[:, 16] = np.asarray(lsel, np.int32).view(np.float32)
 
-    # assemble the whole scene host-side, then upload with ONE batched
-    # jax.device_put: ~25 sequential jnp.asarray puts each paid the remote
-    # TPU tunnel's per-transfer round-trip and dominated scene-build time
-    # (the reference's analogous upload is the cudaMemcpy block,
-    # main.cu:484-557)
     f32 = lambda a: np.asarray(a, np.float32)
     scene = Scene(
-        tri_pack=f32(tri_pack),
-        tri_n=f32(tri_n),
-        tri_uv=f32(tri_uv),
-        tri_mat=np.asarray(tri_mat, np.int32),
-        tri_emission=f32(tri_emission),
-        tri_light=np.asarray(tri_light, np.int32),
-        tri_area=f32(area),
+        tri_f32=tri_f32,
         node_bounds=f32(bvh.bounds[0:1]),
         node_leaf=np.zeros((1, 2), np.int32),
         node_links=np.zeros((1, 2), np.int32),
         node_packed=f32(node_packed),
-        tri_shadow=f32(tri_shadow),
-        tri_shade_row=f32(tri_shade_row),
         bvh8_table=f32(bvh8.table),
-        light_p0=f32(light_p0),
-        light_p1=f32(light_p1),
-        light_p2=f32(light_p2),
-        light_normal=f32(light_normal),
-        light_emission=f32(light_emission),
-        light_area=f32(light_area),
-        light_tri=np.asarray(lsel, np.int32),
+        light_f32=light_f32,
         materials=table,
         textures=f32(textures),
         scene_radius=np.float32(radius),
