@@ -34,6 +34,18 @@ import sys
 import time
 import traceback
 
+# Persistent XLA compile cache (probed round 4: cache HITS work through
+# the axon tunnel — a 76 s compile reloads in 0.7 s; the earlier "hang"
+# was a tunnel outage, not the cache). Compiles are this harness's
+# dominant cost on the 1-core host, and the cache directory persists in
+# the repo across rounds, so a warmed cache collapses the suite wall.
+# BENCH_NO_CACHE=1 restores cold compiles.
+if not os.environ.get("BENCH_NO_CACHE"):
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
