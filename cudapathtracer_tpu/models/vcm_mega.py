@@ -963,12 +963,28 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             * jnp.maximum(cnt.astype(jnp.float32), 1.0))
 
         # ---- light pass for this chunk's paired light paths ----
-        start, _lv0 = paths.start_light_walk(scene, key_l, c_pix,
-                                             ids=pid_g)
-        first_vm_seed = start.first_vc_scale / jnp.maximum(eta_vcm, 1e-30)
-        lbufs, _lesc, lrays = paths.random_walk(
-            scene, key_l, start, cfg.light_depth + 1, 1,
-            eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid_g)
+        # Default: the persistent light machine (models/light_mega.py) —
+        # same draw streams as the classic scan walk, ~vertex-identical
+        # output, without the per-bounce full-width lockstep tails that
+        # made the classic pass ~30% of the shipped 800^2 sample.
+        # TPT_CLASSIC_LIGHT=1 restores the scan walk.
+        if _os.environ.get("TPT_CLASSIC_LIGHT"):
+            start, _lv0 = paths.start_light_walk(scene, key_l, c_pix,
+                                                 ids=pid_g)
+            first_vm_seed = start.first_vc_scale / jnp.maximum(
+                eta_vcm, 1e-30)
+            lbufs, _lesc, lrays = paths.random_walk(
+                scene, key_l, start, cfg.light_depth + 1, 1,
+                eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid_g)
+        else:
+            from cudapathtracer_tpu.models import light_mega
+            lbufs, lrays = light_mega.light_walk_mega(
+                scene, key_l, c_pix, cfg.light_depth + 1, 1,
+                eta_vcm=eta_vcm,
+                pxc=None if grid_w else pxc, pyc=None if grid_w else pyc,
+                width=w, steps_per_iter=steps_per_iter,
+                mini_splits=mini_splits, grid_w=grid_w,
+                gbase=ci * c_pix, gmax=p_total - 1)
         # mask padded lanes' paths out of every consumer
         lbufs = lbufs._replace(valid=lbufs.valid & lane_ok[None, :])
         lpath_len = jnp.sum(lbufs.valid.astype(jnp.int32), axis=0)

@@ -426,13 +426,22 @@ def bsdf_pdfT(mat: MatT, wi, wo, eta_i, transmission=None,
 
 def bsdf_sampleT(key, draw_base, mat: MatT, albedo, wi, backface, eta_i,
                  transport_mode=TRANSPORT_RADIANCE, transmission=None,
-                 ids=None, lobe_mask: int = ALL_LOBES):
-    """ops/bsdf.bsdf_sample, lane-major: (wo [3,N], f [3,N], pdf [N])."""
+                 ids=None, lobe_mask: int = ALL_LOBES, draws=None):
+    """ops/bsdf.bsdf_sample, lane-major: (wo [3,N], f [3,N], pdf [N]).
+
+    draws: optional precomputed (u_sel, u_t, u1, u2) uniforms [N] — callers
+    whose draw keys vary PER LANE (the persistent light machine keys by
+    each lane's own depth, models/light_mega.py) compute them via
+    rng.uniform_keyed and pass them here; key/draw_base/ids are then
+    unused."""
     n = wi.shape[1]
-    u_sel = rng.uniform_any(key, draw_base + 0, n, ids)
-    u_t = rng.uniform_any(key, draw_base + 1, n, ids)
-    u1 = rng.uniform_any(key, draw_base + 2, n, ids)
-    u2 = rng.uniform_any(key, draw_base + 3, n, ids)
+    if draws is not None:
+        u_sel, u_t, u1, u2 = draws
+    else:
+        u_sel = rng.uniform_any(key, draw_base + 0, n, ids)
+        u_t = rng.uniform_any(key, draw_base + 1, n, ids)
+        u1 = rng.uniform_any(key, draw_base + 2, n, ids)
+        u2 = rng.uniform_any(key, draw_base + 3, n, ids)
     t = mat.type
     trans = mat.transmission if transmission is None else transmission
 

@@ -120,6 +120,32 @@ def uniform2_id(key: jax.Array, draw_id: int, ids: jax.Array):
     return _bits_to_unit(x0), _bits_to_unit(x1)
 
 
+def draw_key_table(key: jax.Array, bounces, draw_ids) -> jax.Array:
+    """Precompute the (k0, k1) pairs of uniform_id for every (bounce,
+    draw_id) combination: returns u32 [len(bounces), len(draw_ids), 2].
+
+    The persistent light machine (models/light_mega.py) keys each lane's
+    draws by the lane's OWN depth; folding per lane is ~300x off the VPU
+    roofline (see _threefry2x32 note), so the scalar fold chain
+    bounce_key -> _draw_key runs HERE once per (bounce, draw) and lanes
+    select their pair with a tiny-table gather."""
+    rows = []
+    for b in (bounces if bounces is not None else [None]):
+        bkey = key if b is None else bounce_key(key, b)
+        rows.append(jnp.stack([jnp.stack(_draw_key(bkey, d))
+                               for d in draw_ids]))
+    return jnp.stack(rows).astype(jnp.uint32)
+
+
+def uniform_keyed(k0, k1, ids, dtype=jnp.float32) -> jax.Array:
+    """uniform_id with PER-LANE key pairs ([N] u32 each, e.g. gathered
+    from draw_key_table): bit-identical to uniform_id(key, draw_id, ids)
+    when (k0, k1) = _draw_key(key, draw_id) broadcast."""
+    x0, _ = _threefry2x32(k0, k1, ids.astype(jnp.uint32),
+                          jnp.zeros_like(ids, jnp.uint32))
+    return _bits_to_unit(x0).astype(dtype)
+
+
 def uniform_any(key: jax.Array, draw_id: int, n: int, ids=None,
                 dtype=jnp.float32) -> jax.Array:
     """uniform_id when stable ids are provided, positional uniform
