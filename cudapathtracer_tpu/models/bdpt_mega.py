@@ -72,7 +72,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     gens = -(-c_pix0 // w)
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    k_slots = int(gens * vm.KSLOTS_FACTOR) + 8
+    from cudapathtracer_tpu.models.unidirectional_mega import RETIRE
+    _scatter_ret = RETIRE == "scatter"
+    k_slots = 1 if _scatter_ret else int(gens * vm.KSLOTS_FACTOR) + 8
 
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -140,16 +142,20 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             flavor="bdpt", grid_w=grid_w)
 
         init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
-                             gbase=ci * c_pix, grid_w=grid_w)
+                             gbase=ci * c_pix, grid_w=grid_w,
+                             c_img=c_pix if _scatter_ret else 1)
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)
         rays_tot = rays_tot + lrays + rays_s + out.rays
-        # resolve retire slots to pixels: ONE scatter per chunk
-        rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
-        pids = out.ret_pid.reshape(-1)
-        chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
-            jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
+        if _scatter_ret:  # paths landed in the carried image directly
+            chunk_img = out.img
+        else:
+            # resolve retire slots to pixels: ONE scatter per chunk
+            rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
+            pids = out.ret_pid.reshape(-1)
+            chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
+                jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
         return ((fb_full, rays_tot, its + out.it, fires + out.fires),
                 chunk_img)
 

@@ -104,6 +104,20 @@ KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 # schedules/scenes where shadow latency dominates; the extra state rides
 # the carry measurably free when off.
 EARLY_NEE = _os.environ.get("TPT_MEGA_EARLY_NEE", "0") not in ("0", "")
+# Retirement scheme. "slots" (default): the per-lane [K,W] RGB9E5 slot
+# lists + end-of-loop resolve scatter. The slot sweep measured
+# 61 us/iter at the 1080p defaults (TPT_MEGA_ABLATE_RETIRE A/B: 11.85
+# -> 13.87 Mrays/s if it were free), which motivated "scatter": finished
+# paths flush (pid, radiance) straight into a chunk-image carry via one
+# compacted scatter-add of <= RETIRE_CAP rows per transition, overflow
+# lanes deferring one transition (exact — li/pid just wait). MEASURED
+# AND REJECTED as the default (round 4): 651 vs ~418 us/iter at 1080p
+# w=9720 — the top_k compaction is a full sort and scatter rows
+# serialize at ~47 ns/row, together costing ~4x the sweep they replace.
+# The path stays selectable (TPT_MEGA_RETIRE=scatter) and tested; it
+# may win at wider W or higher K where the sweep scales worse.
+RETIRE = _os.environ.get("TPT_MEGA_RETIRE", "slots")
+RETIRE_CAP = int(_os.environ.get("TPT_MEGA_RETIRE_CAP", "0"))
 
 
 class _MState(NamedTuple):
@@ -150,6 +164,14 @@ class _MState(NamedTuple):
     pending: jax.Array     # [3,W] unshadowed weighted NEE contribution
     nxt_o: jax.Array       # [3,W] BSDF-sampled next ray (waits on shadow)
     nxt_d: jax.Array
+    pend: jax.Array        # [W] bool: path finished, radiance awaiting a
+    #                        flush slot (scatter retirement only; the
+    #                        lane idles — excluded from shading — until
+    #                        a compacted flush takes it)
+    img: jax.Array         # [c_pix,3] f32 chunk image (scatter
+    #                        retirement; [1,3] dummy in slots mode):
+    #                        finished paths scatter-add (pid, li) rows
+    #                        directly — carry-aliased in place
     ret_pid: jax.Array     # [K,W] i32 pixel of each retired slot; -1 empty
     acc: jax.Array         # [K,W] u32 per-slot retired radiance, RGB9E5
     #                        shared-exponent packed (utils/packing.py): the
@@ -170,14 +192,15 @@ class _MState(NamedTuple):
                                    "sample_environment", "steps_per_iter",
                                    "mini_splits", "chunk_pixels",
                                    "debug_counters", "grid_w",
-                                   "early_nee"))
+                                   "early_nee", "retire"))
 def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                   max_depth: int, width: int = 0, use_mis: bool = True,
                   sample_environment: bool = False,
                   steps_per_iter: int = 0, mini_splits: int = 0,
                   chunk_pixels: int = 0,
                   debug_counters: bool = False, grid_w: int = 0,
-                  early_nee: bool | None = None):
+                  early_nee: bool | None = None,
+                  retire: str | None = None):
     """One full sample over pixels (px, py) [P] -> (radiance [P,3], rays).
 
     width: lane count W of the persistent wavefront (0 = P, capped).
@@ -216,7 +239,13 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     gens = -(-c_pix0 // w)       # mean paths per lane per chunk
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    k_slots = int(gens * KSLOTS_FACTOR) + 8
+    retire = retire or RETIRE
+    scatter_ret = retire == "scatter"
+    k_slots = 1 if scatter_ret else int(gens * KSLOTS_FACTOR) + 8
+    # flush capacity: steady-state retires/transition are ~W/18 at the
+    # 1080p defaults; 1/4 width covers bursts with slack (overflow only
+    # defers, never drops)
+    ret_cap = min(w, RETIRE_CAP or max(-(-(w // 4) // 128) * 128, 256))
     skey = rng.sample_key(base_key, sample_idx)
     cam_key = jax.random.fold_in(skey, 2 ** 20)
     if grid_w:
@@ -255,7 +284,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # explicitly so one trace serves every chunk.
     def transition(s: _MState, pxc, pyc, gbase, cnt, qidx) -> _MState:
         ts = s.ts
-        drained = (ts.flag < 0) & (s.pid >= 0)
+        # pend lanes already finished their path; they idle awaiting a
+        # flush slot and must not re-shade
+        drained = (ts.flag < 0) & (s.pid >= 0) & ~s.pend
         pid, lit, depth = s.pid, s.lit, s.depth
         beta, li = s.beta, s.li
         alive = s.path_alive
@@ -452,18 +483,46 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         # iteration at K=88..168: each update re-traverses the buffer);
         # radiance packs to one RGB9E5 word so the sweep reads/writes
         # 2 [K,W] i32 planes, not [K,3,W]+[K,W] floats
-        kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
-        mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
-        if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):  # tools/mega_ablate
+        if scatter_ret:
+            # compacted flush: <= ret_cap finished lanes scatter-add
+            # (pid, li) rows into the chunk-image carry (aliased in
+            # place); overflow lanes keep pend=True and their li/pid
+            # until a later transition — exact, just deferred
+            cap = min(ret_cap, s.pid.shape[0])  # the narrow tail stage
+            #                                     runs this code too
+            pendA = s.pend | dead
+            rank = jnp.cumsum(pendA.astype(jnp.int32))
+            m_sel = pendA & (rank <= cap)
+            if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):
+                img, pend = s.img, pendA  # cost probe: never flush...
+                pend = pendA & ~m_sel     # ...but keep the loop finite
+                pid = jnp.where(m_sel, -1, pid)
+            else:
+                lane_i = jnp.arange(pid.shape[0], dtype=jnp.int32)
+                mkey = jnp.where(m_sel, pid.shape[0] - lane_i, 0)
+                mval, m_idx = jax.lax.top_k(mkey, cap)
+                sub_ok = mval > 0
+                tgt = jnp.where(sub_ok, pid[m_idx], c_pix)
+                rows = jnp.where(sub_ok[:, None], li[:, m_idx].T, 0.0)
+                img = s.img.at[tgt].add(rows, mode="drop")
+                pend = pendA & ~m_sel
+                pid = jnp.where(m_sel, -1, pid)
             acc, ret_pid = s.acc, s.ret_pid
+            ret_count = s.ret_count
+            want = (pid < 0) & (s.next_px < cnt)
         else:
-            li_pk = packing.pack_rgb9e5_cols(li)
-            acc = jnp.where(mg, li_pk[None, :], s.acc)
-            ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
-        ret_count = s.ret_count + dead.astype(jnp.int32)
-        pid = jnp.where(dead, -1, pid)
-
-        want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
+            kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
+            mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
+            if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):
+                acc, ret_pid = s.acc, s.ret_pid
+            else:
+                li_pk = packing.pack_rgb9e5_cols(li)
+                acc = jnp.where(mg, li_pk[None, :], s.acc)
+                ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
+            ret_count = s.ret_count + dead.astype(jnp.int32)
+            pid = jnp.where(dead, -1, pid)
+            img, pend = s.img, s.pend
+            want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         rank = jnp.cumsum(want.astype(jnp.int32))
         new_q = s.next_px + rank - 1
         got = want & (new_q < cnt)
@@ -544,7 +603,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                        s.h_tri, s.h_u, s.h_v, next_px, ret_count, prays,
                        pid, lit, depth, beta, li, alive, prev_pdf,
                        hit_nonspec, prev_point, eta_i, eta_t, ms.stack,
-                       ms.top, pending, nxt_o, nxt_d, ret_pid, acc)
+                       ms.top, pending, nxt_o, nxt_d, pend, img, ret_pid,
+                       acc)
 
     def mini(s: _MState, gbase, do_early: bool = True) -> _MState:
         """Mini-transition between full transitions, two cheap jobs:
@@ -706,10 +766,14 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             eta_t=jnp.full((mw,), EPSILON, jnp.float32),
             ms_stack=ms0.stack, ms_top=ms0.top,
             pending=z3, nxt_o=z3, nxt_d=dx0,
+            pend=jnp.zeros((mw,), bool),
+            img=jnp.zeros((c_pix if scatter_ret else 1, 3), jnp.float32),
             ret_pid=jnp.full((k_slots, mw), -1, jnp.int32),
             acc=jnp.zeros((k_slots, mw), jnp.uint32))
 
     def _slots_to_image(out):
+        if scatter_ret:  # paths landed in the carried image directly
+            return out.img
         rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
         pids = out.ret_pid.reshape(-1)
         return jnp.zeros((c_pix, 3), jnp.float32).at[

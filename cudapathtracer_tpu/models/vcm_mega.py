@@ -235,10 +235,15 @@ class _VState(NamedTuple):
     #                       deviceCode.cu:2968-3048) — always counted
     #                       (one cheap [mw] op per fold), surfaced by
     #                       render_sample(count_merge_dropped=True)
+    pend: jax.Array       # [W] bool: path finished, radiance awaiting a
+    #                       compacted flush slot (scatter retirement)
+    img: jax.Array        # [c_pix,3] f32 chunk image (scatter
+    #                       retirement; [1,3] dummy in slots mode) —
+    #                       see unidirectional_mega._MState.img
 
 
 def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
-                  gbase=0, grid_w: int = 0) -> "_VState":
+                  gbase=0, grid_w: int = 0, c_img: int = 1) -> "_VState":
     """Launch state: lane l starts on queue pixel l (lanes beyond the
     chunk's true count start idle). Shared by the VCM and BDPT flavors of
     the machine. grid_w: derive pixel coords arithmetically (see
@@ -288,7 +293,9 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
         nxt_pdf_sa=zw, nxt_cos=zw,
         ret_pid=jnp.full((k_slots, w), -1, jnp.int32),
         acc=jnp.zeros((k_slots, w), jnp.uint32),
-        dropped=jnp.int32(0))
+        dropped=jnp.int32(0),
+        pend=jnp.zeros((w,), bool),
+        img=jnp.zeros((c_img, 3), jnp.float32))
 
 
 def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
@@ -312,6 +319,10 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     """
     c_pix = gens * w
     is_bdpt = flavor == "bdpt"
+    from cudapathtracer_tpu.models.unidirectional_mega import (RETIRE,
+                                                               RETIRE_CAP)
+    scatter_ret = RETIRE == "scatter"
+    ret_cap = min(w, RETIRE_CAP or max(-(-(w // 4) // 128) * 128, 256))
     fstep = make_fused_step(scene).lane_major
     num_lights = max(scene.num_lights, 1)
     do_nee = cfg.nee and scene.num_lights > 0
@@ -478,7 +489,9 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     # -----------------------------------------------------------------
     def transition(s: _VState, pxc, pyc, gbase, full: bool) -> _VState:
         ts = s.ts
-        drained = (ts.flag < 0) & (s.pid >= 0)
+        # pend lanes already finished their path; they idle awaiting a
+        # compacted flush slot and must not re-enter any phase
+        drained = (ts.flag < 0) & (s.pid >= 0) & ~s.pend
         gpid = gbase + jnp.maximum(s.pid, 0)
         rays = s.rays
         dropped = s.dropped
@@ -762,15 +775,35 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
         dead = dead | (commit & ~alive)
 
         pid = s.pid
-        # fused one-hot packed retirement — see unidirectional_mega
-        kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
-        mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
-        acc = jnp.where(mg, packing.pack_rgb9e5_cols(li)[None, :], s.acc)
-        ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
-        ret_count = s.ret_count + dead.astype(jnp.int32)
-        pid = jnp.where(dead, -1, pid)
-
-        want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
+        if scatter_ret:
+            # compacted scatter-add flush into the chunk-image carry —
+            # see unidirectional_mega (round-4 retirement surgery)
+            cap = min(ret_cap, pid.shape[0])
+            pendA = s.pend | dead
+            rank = jnp.cumsum(pendA.astype(jnp.int32))
+            m_sel = pendA & (rank <= cap)
+            lane_i = jnp.arange(pid.shape[0], dtype=jnp.int32)
+            mkey = jnp.where(m_sel, pid.shape[0] - lane_i, 0)
+            mval, m_idx = jax.lax.top_k(mkey, cap)
+            sub_ok = mval > 0
+            tgt = jnp.where(sub_ok, pid[m_idx], c_pix)
+            rows_f = jnp.where(sub_ok[:, None], li[:, m_idx].T, 0.0)
+            img = s.img.at[tgt].add(rows_f, mode="drop")
+            pend = pendA & ~m_sel
+            pid = jnp.where(m_sel, -1, pid)
+            acc, ret_pid, ret_count = s.acc, s.ret_pid, s.ret_count
+            want = (pid < 0) & (s.next_px < cnt)
+        else:
+            # fused one-hot packed retirement — see unidirectional_mega
+            kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
+            mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
+            acc = jnp.where(mg, packing.pack_rgb9e5_cols(li)[None, :],
+                            s.acc)
+            ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
+            ret_count = s.ret_count + dead.astype(jnp.int32)
+            pid = jnp.where(dead, -1, pid)
+            img, pend = s.img, s.pend
+            want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         rank = jnp.cumsum(want.astype(jnp.int32))
         new_pid = s.next_px + rank - 1
         got = want & (new_pid < cnt)
@@ -859,7 +892,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                        mstate.d_vcm, mstate.d_vc, mstate.d_vm,
                        mstate.pdf_rev_prev, mstate.prev_was_delta, alive,
                        nxt_o, nxt_d, nxt_thr, nxt_pdf_sa, nxt_cos,
-                       ret_pid, acc, dropped)
+                       ret_pid, acc, dropped, pend, img)
 
     def cond(s: _VState):
         more_px = (s.next_px < cnt) & jnp.any(s.ret_count < k_slots)
@@ -918,7 +951,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     gens = -(-c_pix0 // w)
     c_pix = gens * w
     n_chunks = -(-p_total // c_pix)
-    k_slots = int(gens * KSLOTS_FACTOR) + 8
+    from cudapathtracer_tpu.models.unidirectional_mega import RETIRE
+    _scatter_ret = RETIRE == "scatter"
+    k_slots = 1 if _scatter_ret else int(gens * KSLOTS_FACTOR) + 8
 
     skey = rng.sample_key(base_key, sample_idx)
     key_l = jax.random.fold_in(skey, 1)
@@ -1018,16 +1053,20 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             steps_per_iter, mini_splits, grid_w=grid_w, merge_w=merge_w)
 
         init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
-                             gbase=ci * c_pix, grid_w=grid_w)
+                             gbase=ci * c_pix, grid_w=grid_w,
+                             c_img=c_pix if _scatter_ret else 1)
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)
         rays_tot = rays_tot + lrays + rays_s + out.rays
-        # resolve retire slots to pixels: ONE scatter per chunk
-        rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
-        pids = out.ret_pid.reshape(-1)
-        chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
-            jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
+        if _scatter_ret:  # paths landed in the carried image directly
+            chunk_img = out.img
+        else:
+            # resolve retire slots to pixels: ONE scatter per chunk
+            rows = packing.unpack_rgb9e5(out.acc).reshape(-1, 3)
+            pids = out.ret_pid.reshape(-1)
+            chunk_img = jnp.zeros((c_pix, 3), jnp.float32).at[
+                jnp.where(pids >= 0, pids, c_pix)].add(rows, mode="drop")
         return ((fb_full, rays_tot, its + out.it, fires + out.fires,
                  drops + out.dropped), chunk_img)
 
