@@ -26,6 +26,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from cudapathtracer_tpu.ops import traverse8 as _t8
+
 from cudapathtracer_tpu.models import paths
 from cudapathtracer_tpu.models.bdpt import BDPTConfig, light_trace_splat
 from cudapathtracer_tpu.models.vcm import VCMConfig
@@ -143,7 +145,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
                              gbase=ci * c_pix, grid_w=grid_w,
-                             c_img=c_pix if _scatter_ret else 1)
+                             c_img=c_pix if _scatter_ret else 1,
+                             stack_dt=_t8.stack_dtype(scene))
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)

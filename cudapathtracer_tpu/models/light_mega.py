@@ -54,6 +54,7 @@ from cudapathtracer_tpu.models.paths import PathBuffers
 from cudapathtracer_tpu.ops import lanemajor as lm
 from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.ops.intersect import BIG_T
+from cudapathtracer_tpu.ops import traverse8 as t8
 from cudapathtracer_tpu.ops.traverse8 import (make_fused_step, trav_idle,
                                               trav_start)
 from cudapathtracer_tpu.utils import packing, rng
@@ -310,18 +311,17 @@ def light_walk_mega(scene, key, c_pix: int, max_depth: int,
             & (s.it < 1 << 26)
 
     def body(s: _LState):
-        msplit = max(1, min(mini_splits, steps_per_iter))
-        per_group = max(1, steps_per_iter // msplit)
+        # No mini-transitions: every lane is a closest-phase lane, so the
+        # only useful transition is the FULL one (shade + emit + next
+        # launch). Firing it at mini cadence measured 10.9 vs 8.4
+        # s/sample on the shipped 800^2 workload — shade-row gathers and
+        # the vertex scatter at every node-step swamped the walk.
         skip = jnp.full((w,), -1, jnp.int32)
         shadow = jnp.zeros((w,), bool)
-        for gi in range(msplit):
-            ts = s.ts
-            for _ in range(per_group):
-                ts = fstep(ts, s.o, s.d, s.inv_d, skip, shadow)
-            s = s._replace(ts=ts)
-            if gi + 1 < msplit:
-                s = transition(s)
-        s = s._replace(it=s.it + 1)
+        ts = s.ts
+        for _ in range(max(1, steps_per_iter)):
+            ts = fstep(ts, s.o, s.d, s.inv_d, skip, shadow)
+        s = s._replace(ts=ts, it=s.it + 1)
         return transition(s)
 
     # ---- init: lane l starts path l ------------------------------------
@@ -334,7 +334,7 @@ def light_walk_mega(scene, key, c_pix: int, max_depth: int,
         rays=jnp.sum(live.astype(jnp.int32)), it=jnp.int32(0),
         next_p=jnp.minimum(jnp.int32(w), jnp.int32(c_pix)),
         table=jnp.zeros((rows * c_pix, _VROW), jnp.uint32),
-        ts=trav_start(trav_idle(w), live,
+        ts=trav_start(trav_idle(w, t8.stack_dtype(scene)), live,
                       jnp.full((w,), BIG_T, jnp.float32)),
         o=ep0["o"], d=ep0["d"], inv_d=lm.safe_inv_dirT(ep0["d"]),
         pid=pid0, ids=ids0,

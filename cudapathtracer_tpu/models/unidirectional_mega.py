@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from cudapathtracer_tpu.ops import lanemajor as lm
 from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.ops.intersect import BIG_T
+from cudapathtracer_tpu.ops import traverse8 as _t8
 from cudapathtracer_tpu.ops.traverse8 import (TravState, make_fused_step,
                                               trav_idle, trav_start)
 from cudapathtracer_tpu.utils import packing, rng
@@ -739,7 +740,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         return _MState(
             rays=jnp.sum(live.astype(jnp.int32)), it=jnp.int32(0),
             fires=jnp.int32(0), busy=jnp.int32(0),
-            ts=trav_start(trav_idle(mw), live,
+            ts=trav_start(trav_idle(mw, _t8.stack_dtype(scene)), live,
                           jnp.full((mw,), BIG_T, jnp.float32)),
             o=go, d=gd,
             inv_d=lm.safe_inv_dirT(gd),

@@ -65,6 +65,7 @@ from cudapathtracer_tpu.ops import hashgrid
 from cudapathtracer_tpu.ops import lanemajor as lm
 from cudapathtracer_tpu.ops import traverse
 from cudapathtracer_tpu.ops.intersect import BIG_T
+from cudapathtracer_tpu.ops import traverse8 as _t8
 from cudapathtracer_tpu.ops.traverse8 import (make_fused_step, trav_idle,
                                               trav_start)
 from cudapathtracer_tpu.utils import packing, rng
@@ -243,7 +244,8 @@ class _VState(NamedTuple):
 
 
 def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
-                  gbase=0, grid_w: int = 0, c_img: int = 1) -> "_VState":
+                  gbase=0, grid_w: int = 0, c_img: int = 1,
+                  stack_dt=jnp.int32) -> "_VState":
     """Launch state: lane l starts on queue pixel l (lanes beyond the
     chunk's true count start idle). Shared by the VCM and BDPT flavors of
     the machine. grid_w: derive pixel coords arithmetically (see
@@ -270,7 +272,7 @@ def _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
         fires=jnp.int32(0),
         next_px=jnp.minimum(jnp.int32(w), cnt),
         ret_count=jnp.zeros((w,), jnp.int32),
-        ts=trav_start(trav_idle(w), lane_live,
+        ts=trav_start(trav_idle(w, stack_dt), lane_live,
                       jnp.full((w,), BIG_T, jnp.float32)),
         o=go0, d=gd0, inv_d=lm.safe_inv_dirT(gd0),
         skip=jnp.full((w,), -1, jnp.int32),
@@ -1054,7 +1056,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
 
         init = _machine_init(camera, cam_key, w, k_slots, cnt, pxc, pyc,
                              gbase=ci * c_pix, grid_w=grid_w,
-                             c_img=c_pix if _scatter_ret else 1)
+                             c_img=c_pix if _scatter_ret else 1,
+                             stack_dt=_t8.stack_dtype(scene))
         out = jax.lax.while_loop(
             cond, make_body(pxc.astype(jnp.float32),
                             pyc.astype(jnp.float32), ci * c_pix), init)

@@ -56,6 +56,23 @@ from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
 STACK_D = int(_os.environ.get("TPT_STACK_D", "16"))
 MAX_RESTARTS = 3
 
+# Stack ELEMENT dtype: row ids fit 16 bits for tables under 65535 rows
+# (82k tris collapse to ~21k rows), and the [D,N] stack rides every
+# pop/push shift, so halving its bytes halves the dominant stack cost
+# (the shifts measured ~9 us of the ~60 us node-step at w=12960).
+# Entries are stored BIASED by +1 as u16 (0 = empty -> pops to -1), so
+# init-to-zeros stays valid. Tables >= 65535 rows fall back to i32; the
+# choice is static per scene (jit key already depends on table shape).
+# TPT_STACK_I32=1 forces the fallback (A/B escape hatch).
+_FORCE_I32 = _os.environ.get("TPT_STACK_I32", "0") not in ("0", "")
+
+
+def stack_dtype(scene) -> jnp.dtype:
+    """Per-scene stack element dtype (u16 biased / i32)."""
+    if _FORCE_I32 or scene.bvh8_table.shape[0] >= 65535:
+        return jnp.int32
+    return jnp.uint16
+
 # Batcher odd-even merge sort network for 8 elements (19 comparators)
 _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
           (0, 2), (1, 3), (4, 6), (5, 7),
@@ -74,9 +91,10 @@ def _pop(stack, top, want):
     shift is a contiguous masked copy of full-lane rows. Unlike a pointer
     bump, the shift MUTATES the stack, so the caller must pass the true pop
     condition — lanes that keep their descend-direct entry must not
-    shift."""
+    shift. Entries are stored BIASED by +1 (see stack_dtype): an empty
+    row (0) pops to -1."""
     has = want & (top > 0)
-    entry = jnp.where(has, stack[0], -1)
+    entry = jnp.where(has, stack[0].astype(jnp.int32) - 1, -1)
     shifted = jnp.concatenate([stack[1:], stack[:1]], axis=0)
     stack = jnp.where(has[None, :], shifted, stack)
     return entry, stack, jnp.where(has, top - 1, top)
@@ -142,11 +160,14 @@ def _push_block(stack, top, deferred, count):
     drops the DEEPEST entries (shifted off the end) and flags `lost`;
     callers restart those lanes from the root."""
     d_rows = stack.shape[0]
+    dt = stack.dtype
     for bit in (4, 2, 1):
         m = (count & bit) != 0
         shifted = jnp.concatenate([stack[:bit], stack[:-bit]], axis=0)
         stack = jnp.where(m[None, :], shifted, stack)
-    head = [jnp.where(i < count, deferred[i], stack[i]) for i in range(7)]
+    # entries stored biased by +1 in the stack's (possibly u16) dtype
+    head = [jnp.where(i < count, (deferred[i] + 1).astype(dt), stack[i])
+            for i in range(7)]
     stack = jnp.concatenate([jnp.stack(head, axis=0), stack[7:]], axis=0)
     new_top = top + count
     lost = new_top > d_rows
@@ -293,7 +314,7 @@ def closest_hit8(scene, o, d, max_t=None, skip_tri=None, active=None) -> Hit:
     if active is not None:
         direct0 = jnp.where(active, direct0, -1)
     top0 = jnp.zeros((n,), jnp.int32)
-    stack0 = jnp.zeros((STACK_D, n), jnp.int32)
+    stack0 = jnp.zeros((STACK_D, n), stack_dtype(scene))
 
     def step(flag, direct, stack, top, lostc, t_best, tri, u, v, oT, dT,
              inv_dT, skip_tri):
@@ -356,7 +377,7 @@ def shadow_factor8(scene, o, d, max_t, skip_tri=None, active=None):
     if active is not None:
         direct0 = jnp.where(active, direct0, -1)
     top0 = jnp.zeros((n,), jnp.int32)
-    stack0 = jnp.zeros((STACK_D, n), jnp.int32)
+    stack0 = jnp.zeros((STACK_D, n), stack_dtype(scene))
 
     def step(flag, direct, stack, top, lostc, scale, oT, dT, inv_dT, max_t,
              skip_tri):
@@ -419,13 +440,15 @@ class TravState(NamedTuple):
     scale: jax.Array    # [3,N] shadow transmission product (lane-major)
 
 
-def trav_idle(n) -> TravState:
-    """Idle traversal registers (flag=-1 everywhere)."""
+def trav_idle(n, stack_dt=jnp.int32) -> TravState:
+    """Idle traversal registers (flag=-1 everywhere). stack_dt: pass
+    stack_dtype(scene) to opt into the u16 biased stack (the machine
+    keeps whatever dtype the stack was created with)."""
     z = jnp.zeros((n,), jnp.float32)
     return TravState(
         flag=jnp.full((n,), -1, jnp.int32),
         direct=jnp.full((n,), -1, jnp.int32),
-        stack=jnp.zeros((STACK_D, n), jnp.int32),
+        stack=jnp.zeros((STACK_D, n), stack_dt),
         top=jnp.zeros((n,), jnp.int32),
         lostc=jnp.zeros((n,), jnp.int32),
         t_cut=jnp.full((n,), BIG_T, jnp.float32),
@@ -542,7 +565,7 @@ def trace_fused8(scene, o, d, t_lim, is_shadow, skip_tri=None, active=None):
     fstep = make_fused_step(scene).lane_major
 
     act = jnp.ones((n,), bool) if active is None else active
-    ts0 = trav_start(trav_idle(n), act, t_lim)
+    ts0 = trav_start(trav_idle(n, stack_dtype(scene)), act, t_lim)
 
     def step(flag, direct, stack, top, lostc, t_cut, tri, u, v, scale,
              oT, dT, inv_dT, skip_tri, is_shadow):
