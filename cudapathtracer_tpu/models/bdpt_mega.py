@@ -108,12 +108,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         lane_ok = jnp.arange(c_pix, dtype=jnp.int32) < cnt
 
         # ---- light pass (vertices 0..light_depth-1) ----
-        # persistent light machine by default (see vcm_mega.chunk_body);
-        # vertex 0 comes from the endpoint math alone (no traversal)
-        if os.environ.get("TPT_CLASSIC_LIGHT"):
-            lbufs, lv0, lrays = paths.generate_light_path(
-                scene, key_l, c_pix, cfg.light_depth, ids=pid_g)
-        else:
+        # classic scan walk by default — measured faster than the
+        # persistent machine at these shapes (see vcm_mega.chunk_body);
+        # TPT_MEGA_LIGHT=1 selects the machine (vertex 0 then comes from
+        # the endpoint math alone, no traversal)
+        if os.environ.get("TPT_MEGA_LIGHT"):
             from cudapathtracer_tpu.models import light_mega
             _start, lv0 = paths.start_light_walk(scene, key_l, c_pix,
                                                  ids=pid_g)
@@ -124,6 +123,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 width=w, steps_per_iter=steps_per_iter,
                 mini_splits=mini_splits, grid_w=grid_w,
                 gbase=ci * c_pix, gmax=p_total - 1)
+        else:
+            lbufs, lv0, lrays = paths.generate_light_path(
+                scene, key_l, c_pix, cfg.light_depth, ids=pid_g)
         lbufs = lbufs._replace(valid=lbufs.valid & lane_ok[None, :])
         lpath_len = jnp.sum(lbufs.valid.astype(jnp.int32), axis=0)
 

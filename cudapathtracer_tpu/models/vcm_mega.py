@@ -1000,20 +1000,17 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                             * jnp.maximum(cnt.astype(jnp.float32), 1.0))
 
         # ---- light pass for this chunk's paired light paths ----
-        # Default: the persistent light machine (models/light_mega.py) —
-        # same draw streams as the classic scan walk, ~vertex-identical
-        # output, without the per-bounce full-width lockstep tails that
-        # made the classic pass ~30% of the shipped 800^2 sample.
-        # TPT_CLASSIC_LIGHT=1 restores the scan walk.
-        if _os.environ.get("TPT_CLASSIC_LIGHT"):
-            start, _lv0 = paths.start_light_walk(scene, key_l, c_pix,
-                                                 ids=pid_g)
-            first_vm_seed = start.first_vc_scale / jnp.maximum(
-                eta_vcm, 1e-30)
-            lbufs, _lesc, lrays = paths.random_walk(
-                scene, key_l, start, cfg.light_depth + 1, 1,
-                eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid_g)
-        else:
+        # The classic depth-scan walk is the measured default. Round 4
+        # built the persistent light machine (models/light_mega.py — same
+        # draw streams, per-vertex-equal output) expecting to kill
+        # per-bounce lockstep waste, but the ISOLATED measurement at this
+        # exact shape (640k paths, depth 11) reads classic 0.59 s vs
+        # machine 1.03 s: the scan's compacted traversal already
+        # amortizes well and the machine's per-transition vertex scatter
+        # + drain windows cost more than the dead-lane shading they
+        # remove. TPT_MEGA_LIGHT=1 selects the machine (kept tested — it
+        # may win on scenes with wildly varying light-path lengths).
+        if _os.environ.get("TPT_MEGA_LIGHT"):
             from cudapathtracer_tpu.models import light_mega
             lbufs, lrays = light_mega.light_walk_mega(
                 scene, key_l, c_pix, cfg.light_depth + 1, 1,
@@ -1022,6 +1019,14 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 width=w, steps_per_iter=steps_per_iter,
                 mini_splits=mini_splits, grid_w=grid_w,
                 gbase=ci * c_pix, gmax=p_total - 1)
+        else:
+            start, _lv0 = paths.start_light_walk(scene, key_l, c_pix,
+                                                 ids=pid_g)
+            first_vm_seed = start.first_vc_scale / jnp.maximum(
+                eta_vcm, 1e-30)
+            lbufs, _lesc, lrays = paths.random_walk(
+                scene, key_l, start, cfg.light_depth + 1, 1,
+                eta_vcm=eta_vcm, first_vm_seed=first_vm_seed, ids=pid_g)
         # mask padded lanes' paths out of every consumer
         lbufs = lbufs._replace(valid=lbufs.valid & lane_ok[None, :])
         lpath_len = jnp.sum(lbufs.valid.astype(jnp.int32), axis=0)
