@@ -1,14 +1,17 @@
-"""Persistent mega-wavefront LIGHT walk — LANE-MAJOR.
+"""Persistent mega-wavefront LIGHT walk — LANE-MAJOR (opt-in).
 
-Replaces the classic per-bounce lockstep light pass (models/paths.py
-random_walk over [C] lanes x light_depth scan steps) for the mega
-VCM/BDPT engines. The classic scan shades and MIS-advances the FULL
-launch width every bounce although survival decays fast, and its
-traversal pays a lockstep tail per bounce — on the reference-shipped
-800^2 eye16/light10 workload it was ~2.5-3 s of the 8.8 s sample
-(docs/ROADMAP.md round-3 attribution), the last per-bounce lockstep
-stage in the production photon path. Reference counterpart:
-generateLightPath, deviceCode.cu:1081-1287.
+Alternative to the classic per-bounce lockstep light pass
+(models/paths.py random_walk over [C] lanes x light_depth scan steps)
+for the mega VCM/BDPT engines, selected with TPT_MEGA_LIGHT=1. Built in
+round 4 to kill the scan's full-width dead-lane shading; the ISOLATED
+measurement at the reference-shipped 800^2 eye16/light10 shape came out
+classic 0.59 s vs machine 1.03 s (round-3's 2.5-3 s attribution for the
+light pass was stale), so the classic scan stays the default — the
+machine's per-transition vertex scatter and drain windows outweigh the
+lockstep waste it removes at these path counts. Kept tested: it may win
+on workloads with strongly varying light-path lengths or much deeper
+walks. Reference counterpart: generateLightPath,
+deviceCode.cu:1081-1287.
 
 Design: the same persistent lane-machine shape as the eye engines
 (ops/traverse8.make_fused_step in a while loop + transitions), but
