@@ -89,10 +89,18 @@ _ID_STRIDE = 64  # ids = global_pixel_index * 64 + depth; eye_depth < 64
 # Round-3 re-sweep after hybrid BVH8 rows (same-window, shipped 800^2
 # eye16/light10 workload): spi8/w12960 15.6 -> spi6/w12960 13.1 ->
 # spi6/w9720 12.0 s/sample (spi4 16.2 and merge_w=W/2 16.5 lose).
-STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "6"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
+# Round-4 attribution + re-sweep (same-session, shipped workload):
+# connections are ~FREE (no_connect measured no faster), merge is
+# ~2.5 s (no_merge 5.91 vs 8.37), and the LIGHT-transition cadence was
+# the sleeper — mini_splits 6 -> 2 alone took 8.37 -> 6.50; the full
+# sweep (6,1) 7.27 / (6,2) 6.50 / (6,3) 6.83 / (4,2) 7.77 / (8,2) 6.03
+# / (10,2) 6.25 / (12,2) 6.43 / (16,2) 6.74, width at (8,2)
+# 9720 -> 12960: 6.03 -> 5.99, merge_w 1216/2430(def)/3648 ->
+# 9.17/6.03/6.78. New defaults (8, 2, 12960): 8.37 -> 5.99 s/sample.
+STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "8"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "2"))
 # tuned default lane count + retire-slot factor — see unidirectional_mega
-MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "9720"))
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
 KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 # photon-merge sub-wavefront capacity (lanes merged per FULL transition).
 # The merge fold's gathers cost ~per-row, so folding at the full width W
