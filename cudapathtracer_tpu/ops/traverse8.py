@@ -56,22 +56,23 @@ from cudapathtracer_tpu.ops.traverse import (Hit, _compacted_while, _i32,
 STACK_D = int(_os.environ.get("TPT_STACK_D", "16"))
 MAX_RESTARTS = 3
 
-# Stack ELEMENT dtype: row ids fit 16 bits for tables under 65535 rows
-# (82k tris collapse to ~21k rows), and the [D,N] stack rides every
-# pop/push shift, so halving its bytes halves the dominant stack cost
-# (the shifts measured ~9 us of the ~60 us node-step at w=12960).
-# Entries are stored BIASED by +1 as u16 (0 = empty -> pops to -1), so
-# init-to-zeros stays valid. Tables >= 65535 rows fall back to i32; the
-# choice is static per scene (jit key already depends on table shape).
-# TPT_STACK_I32=1 forces the fallback (A/B escape hatch).
-_FORCE_I32 = _os.environ.get("TPT_STACK_I32", "0") not in ("0", "")
+# Stack ELEMENT dtype. A u16 variant exists (row ids fit 16 bits for
+# tables under 65535 rows; entries stored BIASED by +1 so zeros = empty)
+# on the theory that halving the [D,N] stack's bytes halves its
+# pop/push shift traffic (~9 us of the ~60 us node-step). MEASURED AND
+# REJECTED as the default (round 4, same-session 1080p A/B at D=16:
+# i32 379 us/iter vs u16 400) — i16/u16 lives in (16,128) sublane
+# packing on the VPU and the extra pack/convert work outweighs the
+# bytes. TPT_STACK_U16=1 opts in (kept: wider machines or deeper stacks
+# may tip the balance).
+_WANT_U16 = _os.environ.get("TPT_STACK_U16", "0") not in ("0", "")
 
 
 def stack_dtype(scene) -> jnp.dtype:
-    """Per-scene stack element dtype (u16 biased / i32)."""
-    if _FORCE_I32 or scene.bvh8_table.shape[0] >= 65535:
-        return jnp.int32
-    return jnp.uint16
+    """Per-scene stack element dtype (i32 default; u16 biased opt-in)."""
+    if _WANT_U16 and scene.bvh8_table.shape[0] < 65535:
+        return jnp.uint16
+    return jnp.int32
 
 # Batcher odd-even merge sort network for 8 elements (19 comparators)
 _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
