@@ -119,6 +119,13 @@ EARLY_NEE = _os.environ.get("TPT_MEGA_EARLY_NEE", "0") not in ("0", "")
 # may win at wider W or higher K where the sweep scales worse.
 RETIRE = _os.environ.get("TPT_MEGA_RETIRE", "slots")
 RETIRE_CAP = int(_os.environ.get("TPT_MEGA_RETIRE_CAP", "0"))
+# Slot-retirement flush cadence: with F > 1, only every F-th transition
+# runs the [K,W] slot sweep (61 us/iter at the 1080p defaults); finished
+# lanes in between park on the `pend` flag (pid/li held, excluded from
+# shading and refill) — each lane holds at most ONE finished path, so
+# the flush stays a single one-hot sweep. Costs a little refill latency
+# (a dead lane idles <= F-1 windows); the F=2 A/B decides the default.
+RETIRE_EVERY = int(_os.environ.get("TPT_MEGA_RETIRE_EVERY", "1"))
 
 
 class _MState(NamedTuple):
@@ -283,7 +290,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     # narrow tail stage; chunk-local pixel arrays, the queue length, the
     # queue->pixel map `qidx` and the global-id base are threaded
     # explicitly so one trace serves every chunk.
-    def transition(s: _MState, pxc, pyc, gbase, cnt, qidx) -> _MState:
+    def transition(s: _MState, pxc, pyc, gbase, cnt, qidx,
+                   flush: bool = True) -> _MState:
         ts = s.ts
         # pend lanes already finished their path; they idle awaiting a
         # flush slot and must not re-shade
@@ -511,18 +519,28 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             acc, ret_pid = s.acc, s.ret_pid
             ret_count = s.ret_count
             want = (pid < 0) & (s.next_px < cnt)
+        elif not flush:
+            # deferred-flush window: finished lanes park on `pend` (pid
+            # and li held for the next flushing transition); nothing is
+            # written to the slot buffers and no lane refills from them
+            pend = s.pend | dead
+            acc, ret_pid, ret_count = s.acc, s.ret_pid, s.ret_count
+            img = s.img
+            want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         else:
+            retire_set = s.pend | dead  # each lane holds <= 1 finished
             kk_ar = jnp.arange(k_slots, dtype=jnp.int32)
-            mg = dead[None, :] & (s.ret_count[None, :] == kk_ar[:, None])
+            mg = (retire_set[None, :]
+                  & (s.ret_count[None, :] == kk_ar[:, None]))
             if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):
                 acc, ret_pid = s.acc, s.ret_pid
             else:
                 li_pk = packing.pack_rgb9e5_cols(li)
                 acc = jnp.where(mg, li_pk[None, :], s.acc)
                 ret_pid = jnp.where(mg, pid[None, :], s.ret_pid)
-            ret_count = s.ret_count + dead.astype(jnp.int32)
-            pid = jnp.where(dead, -1, pid)
-            img, pend = s.img, s.pend
+            ret_count = s.ret_count + retire_set.astype(jnp.int32)
+            pid = jnp.where(retire_set, -1, pid)
+            img, pend = s.img, jnp.zeros_like(s.pend)
             want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         rank = jnp.cumsum(want.astype(jnp.int32))
         new_q = s.next_px + rank - 1
@@ -640,7 +658,7 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         h_t, h_tri, h_u, h_v = s.h_t, s.h_tri, s.h_u, s.h_v
 
         if do_nee_stage and early_nee and do_early:
-            el = ((ts.flag < 0) & (s.pid >= 0) & ~is_shadow
+            el = ((ts.flag < 0) & (s.pid >= 0) & ~s.pend & ~is_shadow
                   & (ts.tri >= 0))
             gpid = gbase + jnp.maximum(s.pid, 0)
             did = ids2(gpid, s.lit)
@@ -693,31 +711,38 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
         return cond
 
     def make_body(pxc, pyc, gbase, cnt, qidx):
+        # RETIRE_EVERY > 1 unrolls that many windows per while iteration
+        # so the flush/no-flush alternation stays STATIC (a lax.cond
+        # around the transition measured ~4x the per-iteration cost: the
+        # conditional breaks the while-carry aliasing)
+        f_every = max(1, RETIRE_EVERY) if not scatter_ret else 1
+
         def body(s: _MState):
             # straight-line body: steps_per_iter traversal node-steps, then
-            # the transition UNCONDITIONALLY. A lax.cond around the
-            # transition measured ~4x the per-iteration cost: the
-            # conditional breaks the while-carry aliasing and the whole
-            # state gets copied every iteration.
+            # the transition UNCONDITIONALLY.
             skip = jnp.full(s.pid.shape, -1, jnp.int32)
             msplit = max(1, min(mini_splits, steps_per_iter))
             per_group = max(1, steps_per_iter // msplit)
-            for g in range(msplit):
-                ts = s.ts
-                for _ in range(per_group):
-                    ts = fstep(ts, s.o, s.d, s.inv_d, skip, s.is_shadow)
-                    if debug_counters:
-                        s = s._replace(busy=s.busy + jnp.sum(
-                            (ts.flag >= 0).astype(jnp.int32)))
-                s = s._replace(ts=ts)
-                if g + 1 < msplit:
-                    # the early-NEE block (draws + light math) is too
-                    # costly for every mini (measured: every-mini -11%
-                    # vs off); fire it once mid-window
-                    s = mini(s, gbase,
-                             do_early=(g == (msplit - 1) // 2))
-            s = s._replace(it=s.it + 1)
-            return transition(s, pxc, pyc, gbase, cnt, qidx)
+            for f in range(f_every):
+                for g in range(msplit):
+                    ts = s.ts
+                    for _ in range(per_group):
+                        ts = fstep(ts, s.o, s.d, s.inv_d, skip,
+                                   s.is_shadow)
+                        if debug_counters:
+                            s = s._replace(busy=s.busy + jnp.sum(
+                                (ts.flag >= 0).astype(jnp.int32)))
+                    s = s._replace(ts=ts)
+                    if g + 1 < msplit:
+                        # the early-NEE block (draws + light math) is too
+                        # costly for every mini (measured: every-mini -11%
+                        # vs off); fire it once mid-window
+                        s = mini(s, gbase,
+                                 do_early=(g == (msplit - 1) // 2))
+                s = s._replace(it=s.it + 1)
+                s = transition(s, pxc, pyc, gbase, cnt, qidx,
+                               flush=(f == f_every - 1))
+            return s
         return body
 
     def make_init(pxc, pyc, gbase, cnt, qidx, mw):
