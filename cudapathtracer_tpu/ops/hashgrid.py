@@ -18,6 +18,7 @@ equivalent up to cap truncation.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -198,29 +199,60 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     bricks = grid.rows.reshape(-1, 8 * rw)        # [P8/8, 64]
     n_wide = (max_per_cell + 7) // 8 + 1
     n_slots = 8 * n_wide
+    max_brick = bricks.shape[0] - 1
+
+    # ---- batched cross-cell gathers. v5e gathers don't pipeline: each
+    # pays ~18 us FIXED + ~7.3 ns/row, so the per-cell formulation's
+    # 8 x (cell_start + cell_end + n_wide bricks) = 32 sequential gathers
+    # cost ~0.5 ms of pure fixed latency per fold call. Fusing them
+    # across the cell axis ([8,N] index tensors) keeps the row traffic
+    # identical but pays the fixed cost 2 + n_wide times instead.
+    # Peak HBM for the pre-gathered bricks is 8*N*n_wide*256 B; huge
+    # query batches (classic engine at big frames) fall back to the
+    # per-cell gathers to bound it. Fold order (cells outer, ascending
+    # slots inner) and every gathered value are unchanged either way —
+    # the two paths are bit-identical.
+    batched = (8 * n * n_wide * 8 * rw * 4 <= (192 << 20)
+               and os.environ.get("TPT_GRID_BATCH_GATHER", "1") != "0")
+    if batched:
+        cs = jnp.arange(8, dtype=jnp.int32)
+        dxyz = jnp.stack([(cs >> 0) & 1, (cs >> 1) & 1, (cs >> 2) & 1],
+                         axis=-1)                                # [8,3]
+        off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
+        h_all = _hash_cells(base[None, :, :] + off_all,
+                            grid.table_size)                     # [8,N]
+        start_all = grid.cell_start[h_all]
+        count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+        w0_all = start_all >> 3
+        rows_all = jnp.concatenate(
+            [bricks[jnp.minimum(w0_all + k, max_brick)]
+             for k in range(n_wide)], axis=-1)       # [8, N, n_wide*64]
 
     def cell_body(carry_drop, c):
         carry, dropped = carry_drop
-        off = jnp.stack([step[:, 0] * ((c >> 0) & 1),
-                         step[:, 1] * ((c >> 1) & 1),
-                         step[:, 2] * ((c >> 2) & 1)], axis=-1)
-        h = _hash_cells(base + off, grid.table_size)
-        start = grid.cell_start[h]
-        count = jnp.maximum(grid.cell_end[h] - start, 0)
+        if batched:
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, c, 0, keepdims=False)
+            start, count = pick(start_all), pick(count_all)
+            w0 = pick(w0_all)
+            rows_cat = pick(rows_all)                # [N, n_wide*64]
+        else:
+            off = jnp.stack([step[:, 0] * ((c >> 0) & 1),
+                             step[:, 1] * ((c >> 1) & 1),
+                             step[:, 2] * ((c >> 2) & 1)], axis=-1)
+            h = _hash_cells(base + off, grid.table_size)
+            start = grid.cell_start[h]
+            count = jnp.maximum(grid.cell_end[h] - start, 0)
+            w0 = start >> 3
+            rows_cat = jnp.concatenate(
+                [bricks[jnp.minimum(w0 + k, max_brick)]
+                 for k in range(n_wide)], axis=1)    # [N, n_wide*64]
 
-        # gather the covering bricks and re-slice into photon rows.
-        # Candidate set, slot order (ascending photon index) and masking
-        # are identical to the per-slot form; masked adds contribute
-        # exact 0.0 so the fold is bit-identical to it.
-        # NOTE HBM footprint: rows_k materializes
-        # [n_slots, n, 8] f32 per scanned cell — fine at shipped configs
-        # (the compacted merge keeps n at the sub-wavefront width); chunk
-        # the queries if max_per_cell or the query batch grows a lot.
-        w0 = start >> 3
-        max_brick = bricks.shape[0] - 1
-        gath = [bricks[jnp.minimum(w0 + k, max_brick)]
-                for k in range(n_wide)]              # each [N, 64]
-        rows_k = jnp.concatenate(gath, axis=1).reshape(
+        # re-slice the covering bricks into photon rows. Candidate set,
+        # slot order (ascending photon index) and masking are identical
+        # to the per-slot form; masked adds contribute exact 0.0 so the
+        # fold is bit-identical to it.
+        rows_k = rows_cat.reshape(
             n, n_slots, rw).transpose(1, 0, 2)       # [S, N, 8]
         ks = jnp.arange(n_slots, dtype=jnp.int32)
         p_idx = (w0 << 3)[None, :] + ks[:, None]     # photon index [S,N]

@@ -62,6 +62,44 @@ def test_hashgrid_neighbor_completeness():
 
 
 @pytest.mark.smoke
+def test_fold_neighbors_batched_matches_percell(monkeypatch):
+    """The cross-cell batched gather path (TPT_GRID_BATCH_GATHER=1,
+    default) must fold bit-identically to the per-cell gather fallback —
+    same candidate set, slot order and masking, only the gather fusion
+    differs."""
+    rs = np.random.RandomState(11)
+    p = 700  # not a multiple of 8: exercises the brick padding
+    pos = rs.uniform(-1, 1, (p, 3)).astype(np.float32)
+    rows = hashgrid.pack_photons(
+        jnp.asarray(pos), jnp.asarray(rs.uniform(-1, 1, (p, 3)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 1, (p, 3)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 9, (p,)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 9, (p,)), jnp.float32))
+    r = 0.2
+    grid = hashgrid.build_grid(rows, jnp.asarray(rs.rand(p) < 0.8),
+                               jnp.asarray([-1.0, -1.0, -1.0]), r,
+                               hashgrid.photon_table_size(p))
+    q = jnp.asarray(rs.uniform(-0.9, 0.9, (96, 3)).astype(np.float32))
+    active = jnp.asarray(rs.rand(96) < 0.9)
+
+    def fold(c, row, in_range):
+        # touches every decoded field so a wrong gather can't cancel out
+        _, wi, beta, d_vcm, d_vm = hashgrid.photon_fields(row)
+        add = beta * (wi + d_vcm[:, None] + d_vm[:, None] + row[:, 0:3])
+        return c + jnp.where(in_range[:, None], add, 0.0)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("TPT_GRID_BATCH_GATHER", flag)
+        out, dropped = hashgrid.fold_neighbors(
+            grid, q, r, 8, fold, jnp.zeros((96, 3)), active=active,
+            count_dropped=True)
+        outs[flag] = (np.asarray(out), int(dropped))
+    np.testing.assert_array_equal(outs["1"][0], outs["0"][0])
+    assert outs["1"][1] == outs["0"][1]
+
+
+@pytest.mark.smoke
 def test_merge_cap_drop_counter_fires():
     """'No silent caps': a cluster denser than max_per_cell must be
     reported by fold_neighbors(count_dropped=True) — exactly the photons
