@@ -112,6 +112,17 @@ KSLOTS_FACTOR = float(_os.environ.get("TPT_MEGA_KSLOTS_FACTOR", "1.0"))
 # 0 = auto (W/4, >=512, rounded up to the 128-lane register width).
 MERGE_W = int(_os.environ.get("TPT_MEGA_MERGE_W", "0"))
 
+# Batched-slot merge (default on): evaluate the merge BSDF/MIS math once
+# over all 8x8 candidate slots flattened to [64*mw] lanes instead of a
+# 128-iteration slot fold — at the compacted sub-wavefront width the
+# fold's tiny [mw] vectors left the VPU ~97% idle on per-op overhead.
+# Changes float summation order (a [64]-axis tree sum replaces the
+# sequential fold), so images differ from the fold path by ~ulps; the
+# candidate set and MIS math are identical. TPT_MEGA_MERGE_BATCH=0
+# restores the sequential fold. (Read at trace time so tests can A/B.)
+def _merge_batch_enabled():
+    return _os.environ.get("TPT_MEGA_MERGE_BATCH", "1") != "0"
+
 
 def _clampT(c):
     """Lane-major firefly clamp (util.cuh:31 semantics)."""
@@ -703,7 +714,59 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     out = _weightedT(contrib, wt, cfg)
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
-                if compact_merge:
+                use_batch = _merge_batch_enabled() and cfg.max_per_cell <= 8
+                if use_batch:
+                    # one wide evaluation over all M=8*cap candidate
+                    # slots: flatten [M, mw] -> [M*mw] lanes (slot-major,
+                    # matching rows.reshape), run the identical per-slot
+                    # math of merge_fold once at full vector width, then
+                    # tree-sum over the slot axis.
+                    nm = npos_m.shape[1]
+                    rows_s, ok_s, drop_add = hashgrid.neighbor_slots(
+                        grid, npos_m.T, mr, cfg.max_per_cell,
+                        active=active_m)
+                    mslots = rows_s.shape[0]
+                    def btn(x):
+                        # tile any [..., nm] lane array across the slot
+                        # axis -> [..., mslots*nm], slot-major to match
+                        # rows_s.reshape
+                        shp = x.shape
+                        y = jnp.broadcast_to(
+                            x[..., None, :], shp[:-1] + (mslots, nm))
+                        return y.reshape(shp[:-1] + (mslots * nm,))
+                    bt1 = bt3 = btn
+                    flat = rows_s.reshape(mslots * nm, rows_s.shape[2])
+                    _, p_wi, p_beta, p_d_vcm, p_d_vm = \
+                        hashgrid.photon_fields(flat)
+                    normal_b = bt3(normal_m)
+                    wi_loc = lm.to_localT(p_wi.T, normal_b)
+                    eye_prev_b = bt3(eye_prev_loc)
+                    mat_b = jax.tree.map(bt1, mat_m)
+                    albedo_b, trans_b = bt3(albedo_m), bt1(trans_m)
+                    ones_b = jnp.ones((mslots * nm,), albedo_b.dtype)
+                    f_m = bsdf_fT(mat_b, albedo_b, wi_loc, eye_prev_b,
+                                  ones_b, transmission=trans_b)
+                    pdf_eye_rev = bsdf_pdfT(mat_b, wi_loc, eye_prev_b,
+                                            ones_b, transmission=trans_b)
+                    pdf_light_rev = bsdf_pdfT(mat_b, eye_prev_b, wi_loc,
+                                              ones_b,
+                                              transmission=trans_b)
+                    w_eye = bt1(dvcm_m) / jnp.maximum(eta_vcm, 1e-30) \
+                        + pdf_eye_rev * bt1(dvm_m)
+                    w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
+                        + pdf_light_rev * p_d_vm
+                    wt = 1.0 / (1.0 + w_eye + w_light)
+                    contrib = p_beta.T * f_m * bt3(thr_m) * merge_norm
+                    out = _weightedT(contrib, wt, cfg)
+                    out = jnp.where(ok_s.reshape(mslots * nm)[None, :],
+                                    out, 0.0)
+                    li_m = jnp.sum(out.reshape(3, mslots, nm), axis=1)
+                    if compact_merge:
+                        li = li.at[:, m_idx].add(
+                            jnp.where(sub_ok[None, :], li_m, 0.0))
+                    else:
+                        li = li + li_m
+                elif compact_merge:
                     li_m, drop_add = hashgrid.fold_neighbors(
                         grid, npos_m.T, mr, cfg.max_per_cell, merge_fold,
                         jnp.zeros_like(npos_m), active=active_m,

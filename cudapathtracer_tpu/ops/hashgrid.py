@@ -214,6 +214,8 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     # the two paths are bit-identical.
     batched = (8 * n * n_wide * 8 * rw * 4 <= (192 << 20)
                and os.environ.get("TPT_GRID_BATCH_GATHER", "1") != "0")
+    aligned8 = (max_per_cell <= 8
+                and os.environ.get("TPT_GRID_ALIGN_ROTATE", "1") != "0")
     if batched:
         cs = jnp.arange(8, dtype=jnp.int32)
         dxyz = jnp.stack([(cs >> 0) & 1, (cs >> 1) & 1, (cs >> 2) & 1],
@@ -252,13 +254,37 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
         # slot order (ascending photon index) and masking are identical
         # to the per-slot form; masked adds contribute exact 0.0 so the
         # fold is bit-identical to it.
-        rows_k = rows_cat.reshape(
-            n, n_slots, rw).transpose(1, 0, 2)       # [S, N, 8]
-        ks = jnp.arange(n_slots, dtype=jnp.int32)
-        p_idx = (w0 << 3)[None, :] + ks[:, None]     # photon index [S,N]
-        rel = p_idx - start[None, :]
-        slot_ok = (active[None, :] & (rel >= 0)
-                   & (rel < jnp.minimum(count, max_per_cell)[None, :]))
+        if aligned8:
+            # rotate each lane's 2-brick window by (start & 7) rows with
+            # 8 static-slice selects, so the cell's first <=8 photons
+            # land in slots 0..7 and the fold body runs 8 slot
+            # iterations instead of 16 — the fold body (3 BSDF evals on
+            # the full sub-wavefront per slot) is the merge stage's VPU
+            # cost, and half its iterations were guaranteed-masked
+            # padding. Same candidates in the same ascending order;
+            # masked adds are exact 0.0 — bit-identical either way.
+            a = (start & 7)[:, None]                 # [N,1]
+            aligned = rows_cat[:, 0:8 * rw]
+            for rr in range(1, 8):
+                aligned = jnp.where(a == rr,
+                                    rows_cat[:, rr * rw:(rr + 8) * rw],
+                                    aligned)
+            rows_k = aligned.reshape(
+                n, 8, rw).transpose(1, 0, 2)         # [8, N, 8]
+            ks = jnp.arange(8, dtype=jnp.int32)
+            rel = jnp.broadcast_to(ks[:, None], (8, n))  # slot k == rel
+            slot_ok = (active[None, :]
+                       & (rel < jnp.minimum(count, max_per_cell)[None, :]))
+            n_loop = 8
+        else:
+            rows_k = rows_cat.reshape(
+                n, n_slots, rw).transpose(1, 0, 2)   # [S, N, 8]
+            ks = jnp.arange(n_slots, dtype=jnp.int32)
+            p_idx = (w0 << 3)[None, :] + ks[:, None]  # photon index [S,N]
+            rel = p_idx - start[None, :]
+            slot_ok = (active[None, :] & (rel >= 0)
+                       & (rel < jnp.minimum(count, max_per_cell)[None, :]))
+            n_loop = n_slots
 
         def slot_body(k, carry):
             row = jax.lax.dynamic_index_in_dim(rows_k, k, 0,
@@ -269,7 +295,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
             d2 = jnp.sum(diff * diff, axis=-1)
             return fold(carry, row, valid_slot & (d2 <= r2))
 
-        carry = jax.lax.fori_loop(0, n_slots, slot_body, carry)
+        carry = jax.lax.fori_loop(0, n_loop, slot_body, carry)
         if count_dropped:
             over = jnp.where(active,
                              jnp.maximum(count - max_per_cell, 0), 0)
@@ -282,6 +308,74 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     if count_dropped:
         return carry, dropped
     return carry
+
+
+def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
+                   max_per_cell: int, active=None):
+    """Materialize EVERY candidate photon for each query in one batch:
+    returns (rows [M, N, 8], ok [M, N], dropped) with M = 8 cells x
+    max_per_cell aligned slots. Requires max_per_cell <= 8.
+
+    Rationale (measured round 4): at the compacted merge's sub-wavefront
+    width (~3k lanes) the scan/fori fold runs 8x16 slot iterations whose
+    per-op fixed overhead dominates — the VPU is ~4 rows wide at that
+    width. Callers should instead flatten [M,N] -> [M*N] and run the
+    merge BSDF/MIS math ONCE at proper vector width, then reduce over
+    the slot axis. `ok` already includes the exact distance^2 <= r^2
+    test; `dropped` counts cap-truncated candidates exactly like
+    fold_neighbors(count_dropped=True). Candidate set and per-slot
+    ascending order match fold_neighbors; only the caller's summation
+    order differs.
+    """
+    assert max_per_cell <= 8, "neighbor_slots requires max_per_cell <= 8"
+    n = query_pos.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    r2 = merge_radius * merge_radius
+    base = _cell_of(query_pos, grid.scene_min, grid.cell_size)
+    frac = (query_pos - grid.scene_min) / grid.cell_size - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+
+    rw = grid.rows.shape[1]
+    bricks = grid.rows.reshape(-1, 8 * rw)        # [P8/8, 64]
+    max_brick = bricks.shape[0] - 1
+
+    cs = jnp.arange(8, dtype=jnp.int32)
+    dxyz = jnp.stack([(cs >> 0) & 1, (cs >> 1) & 1, (cs >> 2) & 1],
+                     axis=-1)                                # [8,3]
+    off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
+    h_all = _hash_cells(base[None, :, :] + off_all,
+                        grid.table_size)                     # [8,N]
+    start_all = grid.cell_start[h_all]
+    count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+    w0_all = start_all >> 3
+    rows_cat = jnp.concatenate(
+        [bricks[jnp.minimum(w0_all + k, max_brick)] for k in (0, 1)],
+        axis=-1)                                             # [8,N,128]
+
+    # rotate each lane's 2-brick window by (start & 7) rows so the
+    # cell's first <=8 photons land in slots 0..7 (static-slice selects)
+    a = (start_all & 7)[:, :, None]                          # [8,N,1]
+    aligned = rows_cat[:, :, 0:8 * rw]
+    for rr in range(1, 8):
+        aligned = jnp.where(a == rr,
+                            rows_cat[:, :, rr * rw:(rr + 8) * rw],
+                            aligned)                         # [8,N,64]
+    rows = aligned.reshape(8, n, 8, rw)[:, :, :max_per_cell, :]
+    rows = rows.transpose(0, 2, 1, 3).reshape(
+        8 * max_per_cell, n, rw)                             # [M,N,8]
+
+    ks = jnp.arange(max_per_cell, dtype=jnp.int32)
+    lim = jnp.minimum(count_all, max_per_cell)               # [8,N]
+    ok = (active[None, None, :]
+          & (ks[None, :, None] < lim[:, None, :])).reshape(
+              8 * max_per_cell, n)
+    diff = query_pos[None, :, :] - rows[:, :, 0:3]
+    ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
+
+    over = jnp.where(active[None, :],
+                     jnp.maximum(count_all - max_per_cell, 0), 0)
+    return rows, ok, jnp.sum(over)
 
 
 def photon_table_size(max_photons: int) -> int:

@@ -89,14 +89,23 @@ def test_fold_neighbors_batched_matches_percell(monkeypatch):
         return c + jnp.where(in_range[:, None], add, 0.0)
 
     outs = {}
-    for flag in ("1", "0"):
-        monkeypatch.setenv("TPT_GRID_BATCH_GATHER", flag)
-        out, dropped = hashgrid.fold_neighbors(
-            grid, q, r, 8, fold, jnp.zeros((96, 3)), active=active,
-            count_dropped=True)
-        outs[flag] = (np.asarray(out), int(dropped))
-    np.testing.assert_array_equal(outs["1"][0], outs["0"][0])
-    assert outs["1"][1] == outs["0"][1]
+    for batch in ("1", "0"):
+        for rot in ("1", "0"):
+            monkeypatch.setenv("TPT_GRID_BATCH_GATHER", batch)
+            monkeypatch.setenv("TPT_GRID_ALIGN_ROTATE", rot)
+            for cap in (8, 5):
+                out, dropped = hashgrid.fold_neighbors(
+                    grid, q, r, cap, fold, jnp.zeros((96, 3)),
+                    active=active, count_dropped=True)
+                outs[(batch, rot, cap)] = (np.asarray(out), int(dropped))
+    ref_key = ("0", "0", 8)
+    for k, (out, dropped) in outs.items():
+        if k[2] != 8:
+            continue
+        np.testing.assert_array_equal(out, outs[ref_key][0], err_msg=str(k))
+        assert dropped == outs[ref_key][1], k
+    np.testing.assert_array_equal(outs[("1", "1", 5)][0],
+                                  outs[("0", "0", 5)][0])
 
 
 @pytest.mark.smoke

@@ -51,6 +51,27 @@ def test_vcm_mega_agrees_with_classic_vcm(setup):
     assert np.median(rel) < 0.35
 
 
+def test_vcm_mega_merge_batch_matches_fold(setup, monkeypatch):
+    """The batched-slot merge (TPT_MEGA_MERGE_BATCH=1, default) is the
+    sequential fold with a different summation order: same candidates,
+    same MIS math — images agree to ~ulps and the drop counter exactly."""
+    import jax
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=5, light_depth=4, max_per_cell=4)
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("TPT_MEGA_MERGE_BATCH", flag)
+        jax.clear_caches()  # the flag is read at trace time
+        li, _rays, drop = vcm_mega.render_sample(
+            scene, cam, key, 3, px, py, cfg=cfg, steps_per_iter=2,
+            mini_splits=1, count_merge_dropped=True)
+        outs[flag] = (np.asarray(li), int(drop))
+    assert outs["1"][1] == outs["0"][1]
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_vcm_mega_schedule_invariant(setup):
     scene, cam, px, py = setup
     key = rng.base_key()

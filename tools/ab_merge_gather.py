@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--variant", default="full",
+                    choices=["full", "no_merge", "no_connect",
+                             "no_lighttrace"])
     args = ap.parse_args()
 
     scene, _ = build_scene(builtin.cornell_with_blocks(),
@@ -40,9 +43,13 @@ def main():
     px, py = jnp.meshgrid(jnp.arange(n), jnp.arange(n))
     px, py = px.ravel(), py.ravel()
     key = rng.base_key()
-    cfg = vcm.VCMConfig(eye_depth=16, light_depth=10)
+    kw = {"no_merge": {"do_merge": False},
+          "no_connect": {"connection": False},
+          "no_lighttrace": {"light_trace": False}}.get(args.variant, {})
+    cfg = vcm.VCMConfig(eye_depth=16, light_depth=10, **kw)
 
-    flag = os.environ.get("TPT_GRID_BATCH_GATHER", "1")
+    flag = (args.variant + " "
+            + os.environ.get("TPT_GRID_BATCH_GATHER", "1"))
     out = vcm_mega.render_sample(scene, cam, key, 0, px, py, cfg=cfg,
                                  grid_w=n)
     _ = float(out[0].sum())
