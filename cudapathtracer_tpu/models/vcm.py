@@ -282,7 +282,13 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             w_eye = pdf_connect * d_vcm + pdf_connect * (cos_l / PI) * d_vc
             weight = 1.0 / (1.0 + w_eye)
             out = _weighted(le * thr, weight, cfg)
-            out = _clamp_firefly(out)
+            # Deliberate deviation, mirrored on the BDPT t==2 exemption
+            # (models/bdpt.py first_t): directly-visible emission is NOT a
+            # firefly — the reference's unconditional clamp at
+            # deviceCode.cu:2953 squashes Le luminance to MAX_FIREFLY_LUM
+            # on light pixels (measured −26% image mean on the diffuse
+            # Cornell, tools/debug_vcm_split.py); depth 0 is exempt here.
+            out = jnp.where(depth == 0, out, _clamp_firefly(out))
             colorsum = colorsum + jnp.where(is_light[:, None], out, 0.0)
 
         # ---- s = 1: NEE (connectNEE, deviceCode.cu:2460-2549)

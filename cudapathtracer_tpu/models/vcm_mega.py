@@ -661,7 +661,13 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     w_eye = (pdf_connect * n_dvcm
                              + pdf_connect * (cos_l / PI) * n_dvc)
                     weight = 1.0 / (1.0 + w_eye)
-                    out = _clampT(_weightedT(le * thr, weight, cfg))
+                    out = _weightedT(le * thr, weight, cfg)
+                    # directly-visible emission is exempt from the firefly
+                    # clamp (deviation from deviceCode.cu:2953, mirrored on
+                    # the BDPT t==2 exemption above; see models/vcm.py) —
+                    # the unconditional clamp cost 40% of image energy on
+                    # diffuse scenes (tools/debug_vcm_split.py)
+                    out = jnp.where(depth == 0, out, _clampT(out))
                 li = li + jnp.where(is_light[None, :], out, 0.0)
 
             # ---- photon merge (deviceCode.cu:2968-3048) at this vertex.
