@@ -237,6 +237,7 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
     ctr_sum = 0  # trailing scalar counter (e.g. VCM merge-cap drops)
     best = None
     acc = None
+    saw_ctr = False
     for wdw in range(max(best_of, 1)):
         rtot = 0
         s = 1 + wdw * spp
@@ -249,6 +250,7 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
             rtot += int(rays)
             if len(out) > 2:
                 ctr_sum += int(out[2])
+                saw_ctr = True
             s += k
             _ = float(rays)  # bounded in-flight queue through the tunnel
         img = np.asarray(acc)
@@ -274,7 +276,7 @@ def _measure_aot(step, spp, batch, best_of, metric, *, extra=None,
         # headline (absolute numbers swing 2-3x hour to hour; the ratio
         # is the round-over-round comparable quantity)
         result["headline_ratio"] = round(mrays / headline_mrays, 4)
-    if ctr_sum:
+    if saw_ctr:
         result["merge_dropped"] = ctr_sum
     result.update(extra or {})
     return result

@@ -270,8 +270,9 @@ class Renderer:
                 if verbose:
                     print(f"WARNING: photon merge cap truncated {dropped:,} "
                           f"candidate photons (max_per_cell="
-                          f"{getattr(cfg, 'vcm_max_per_cell', 8)}); "
-                          "raise the cap if caustics look dim")
+                          f"{cfg.vcm_max_per_cell}; 'VCM Max Photons Per "
+                          "Cell' in the config raises it if caustics look "
+                          "dim)")
         return self.finish()
 
     # ------------------------------------------------------------------

@@ -73,6 +73,7 @@ class VCMConfig:
             do_sppm=cfg.do_sppm, paint_weight=cfg.bdpt_paint_weight,
             merge_alpha=cfg.vcm_merge_const or 0.7,
             r0_multiplier=cfg.vcm_initial_merge_radius_multiplier or 0.01,
+            max_per_cell=max(int(getattr(cfg, "vcm_max_per_cell", 8)), 1),
             sample_environment=cfg.sample_environment)
 
 

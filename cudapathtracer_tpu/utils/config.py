@@ -82,6 +82,11 @@ class RenderConfig:
 
     vcm_merge_const: float = 0.0       # alpha of the radius schedule
     vcm_initial_merge_radius_multiplier: float = 0.0
+    # framework extension (no reference key): static bounded-gather merge
+    # cap per grid cell — the reference visits every photon in a cell
+    # unboundedly (deviceCode.cu:2992-3048); the driver reports how many
+    # candidates the cap truncated so this can be raised from data
+    vcm_max_per_cell: int = 8
 
     # Camera
     pinhole_camera: bool = False
@@ -196,6 +201,7 @@ _KEYMAP = {
     "VCM Merge Radius Power Factor": ("vcm_merge_const", float),
     "VCM Initial Merge Radius Multiplier": ("vcm_initial_merge_radius_multiplier", float),
     "VCM Initial Merge Radius Multipler": ("vcm_initial_merge_radius_multiplier", float),
+    "VCM Max Photons Per Cell": ("vcm_max_per_cell", int),
     # framework extensions
     "Seed": ("seed", int),
     "Engine": ("engine", lambda s: s.strip().lower()),

@@ -70,6 +70,23 @@ def test_parse_reference_config():
     assert m.material_id == 2
 
 
+def test_vcm_max_per_cell_roundtrip():
+    """Framework-extension key 'VCM Max Photons Per Cell' must reach
+    VCMConfig.max_per_cell (round-4 verdict: the cap was Python-API-only,
+    so the driver's own 'raise the cap' advice was un-actionable)."""
+    from cudapathtracer_tpu.models.vcm import VCMConfig
+
+    cfg = parse_config(REFERENCE_CONFIG)
+    assert cfg.vcm_max_per_cell == 8          # default
+    assert VCMConfig.from_config(cfg).max_per_cell == 8
+    cfg2 = parse_config(REFERENCE_CONFIG.replace(
+        "VCM Merge Radius Power Factor: 0.7",
+        "VCM Merge Radius Power Factor: 0.7\n"
+        "    VCM Max Photons Per Cell: 24"))
+    assert cfg2.vcm_max_per_cell == 24
+    assert VCMConfig.from_config(cfg2).max_per_cell == 24
+
+
 def test_sppm_normalization():
     cfg = parse_config(REFERENCE_CONFIG.replace("Integrator: VCM",
                                                 "Integrator: SPPM"))

@@ -160,6 +160,38 @@ def test_vcm_agrees_with_unidirectional(setup):
     assert abs(v.mean() - u.mean()) / u.mean() < 0.12
 
 
+def test_vcm_agrees_with_unidirectional_64():
+    """Round-5 gate for the round-4 energy-deficit finding: the 12x12 gate
+    above has eta_vcm ~ 0 (144 light paths), so the merge/eta machinery
+    carries no weight there and a photon-family energy bug is invisible.
+    At 64^2 the production bench scene has eta_vcm = O(1) and a bright
+    (Le=15) light where the firefly-clamp regression class shows up as a
+    ~40% mean deficit — this run measured 0.990 after the fix
+    (tools/debug_vcm_split.py)."""
+    W64 = 64
+    scene, _ = build_scene(builtin.cornell_with_blocks(),
+                           builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), W64, W64, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(W64), jnp.arange(W64))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=8, light_depth=6)
+    acc = np.zeros((W64 * W64, 3), np.float64)
+    for s in range(6):
+        li, _ = vcm.render_sample(scene, cam, key, s, px, py, cfg=cfg)
+        acc += np.asarray(li, np.float64)
+    v = acc / 6
+    acc = np.zeros((W64 * W64, 3), np.float64)
+    for s in range(18):
+        li, _ = unidirectional.render_sample(scene, cam, rng.base_key(7), s,
+                                             px, py, max_depth=8)
+        acc += np.asarray(li, np.float64)
+    u = acc / 18
+    assert np.isfinite(v).all() and (v >= 0).all()
+    ratio = v.mean() / u.mean()
+    assert 0.92 < ratio < 1.08, f"vcm/uni mean ratio {ratio}"
+
+
 def test_sppm_mode_runs_and_converges_direction(setup):
     """SPPM = merge-only, first non-delta surface (main.cu:325-333)."""
     cfg = vcm.VCMConfig(eye_depth=6, light_depth=5, light_trace=False,
