@@ -720,7 +720,15 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     out = _weightedT(contrib, wt, cfg)
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
-                use_batch = _merge_batch_enabled() and cfg.max_per_cell <= 8
+                # HBM guard mirroring fold_neighbors' batched-gather cap:
+                # neighbor_slots materializes [8, nm, 128] rows_cat plus
+                # [8*cap*nm]-lane BSDF intermediates, all linear in the
+                # merge sub-wavefront width — fall back to the fold path
+                # rather than OOM on very large wavefront configs
+                nm_w = npos_m.shape[1]
+                use_batch = (_merge_batch_enabled()
+                             and 1 <= cfg.max_per_cell <= 8
+                             and 8 * nm_w * 2 * 64 * 4 <= (192 << 20))
                 if use_batch:
                     # one wide evaluation over all M=8*cap candidate
                     # slots: flatten [M, mw] -> [M*mw] lanes (slot-major,

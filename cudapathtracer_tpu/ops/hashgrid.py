@@ -212,9 +212,12 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     # per-cell gathers to bound it. Fold order (cells outer, ascending
     # slots inner) and every gathered value are unchanged either way —
     # the two paths are bit-identical.
+    # NOTE: both env toggles are read at TRACE time (like
+    # TPT_MEGA_MERGE_BATCH) — flipping them after a jitted caller cached
+    # its trace has no effect until caches are cleared.
     batched = (8 * n * n_wide * 8 * rw * 4 <= (192 << 20)
                and os.environ.get("TPT_GRID_BATCH_GATHER", "1") != "0")
-    aligned8 = (max_per_cell <= 8
+    aligned8 = (1 <= max_per_cell <= 8
                 and os.environ.get("TPT_GRID_ALIGN_ROTATE", "1") != "0")
     if batched:
         cs = jnp.arange(8, dtype=jnp.int32)

@@ -104,8 +104,13 @@ def test_fold_neighbors_batched_matches_percell(monkeypatch):
             continue
         np.testing.assert_array_equal(out, outs[ref_key][0], err_msg=str(k))
         assert dropped == outs[ref_key][1], k
-    np.testing.assert_array_equal(outs[("1", "1", 5)][0],
-                                  outs[("0", "0", 5)][0])
+    # cap=5: every (batch, rotate) combo against the double-fallback
+    for k, (out, dropped) in outs.items():
+        if k[2] != 5:
+            continue
+        np.testing.assert_array_equal(out, outs[("0", "0", 5)][0],
+                                      err_msg=str(k))
+        assert dropped == outs[("0", "0", 5)][1], k
 
 
 @pytest.mark.smoke
