@@ -730,15 +730,29 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                              and 1 <= cfg.max_per_cell <= 8
                              and 8 * nm_w * 2 * 64 * 4 <= (192 << 20))
                 if use_batch:
-                    # one wide evaluation over all M=8*cap candidate
-                    # slots: flatten [M, mw] -> [M*mw] lanes (slot-major,
+                    # one wide evaluation over all M candidate slots:
+                    # flatten [M, mw] -> [M*mw] lanes (slot-major,
                     # matching rows.reshape), run the identical per-slot
                     # math of merge_fold once at full vector width, then
-                    # tree-sum over the slot axis.
+                    # tree-sum over the slot axis. With
+                    # TPT_MEGA_MERGE_CAPQ=N (read at trace time) the
+                    # candidate stream is compacted per QUERY to its
+                    # first N entries (hashgrid.neighbor_slots_compact):
+                    # M drops from 8*cap to N, cutting the merge BSDF
+                    # work proportionally; the truncated tail lands in
+                    # the dropped counter.
                     nm = npos_m.shape[1]
-                    rows_s, ok_s, drop_add = hashgrid.neighbor_slots(
-                        grid, npos_m.T, mr, cfg.max_per_cell,
-                        active=active_m)
+                    cap_q = int(_os.environ.get("TPT_MEGA_MERGE_CAPQ",
+                                                "0"))
+                    if cap_q > 0:
+                        rows_s, ok_s, drop_add = \
+                            hashgrid.neighbor_slots_compact(
+                                grid, npos_m.T, mr, cfg.max_per_cell,
+                                cap_q, active=active_m)
+                    else:
+                        rows_s, ok_s, drop_add = hashgrid.neighbor_slots(
+                            grid, npos_m.T, mr, cfg.max_per_cell,
+                            active=active_m)
                     mslots = rows_s.shape[0]
                     def btn(x):
                         # tile any [..., nm] lane array across the slot

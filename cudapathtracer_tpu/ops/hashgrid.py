@@ -381,6 +381,74 @@ def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
     return rows, ok, jnp.sum(over)
 
 
+def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
+                           max_per_cell: int, cap_q: int, active=None):
+    """Per-QUERY compacted candidate slots: the same 8-cell candidate
+    stream as neighbor_slots (per-cell capped at max_per_cell, cell-major
+    order, ascending photon index within a cell), but flattened per query
+    and truncated to its first cap_q entries. Returns
+    (rows [cap_q, N, 8], ok [cap_q, N], dropped).
+
+    Rationale: neighbor_slots materializes 8*max_per_cell slots per query
+    and the caller's merge math runs at that full slot width, yet typical
+    occupancy is ~0-4 in-range photons — most of the wide BSDF work is
+    masked padding. Compacting the stream to cap_q slots cuts the merge's
+    VPU work 8*max_per_cell/cap_q x and gathers thin [8]-float rows
+    instead of 64-float bricks. The candidate SET equals neighbor_slots'
+    whenever a query's total candidate count <= cap_q; beyond that the
+    tail is truncated and counted in `dropped` (alongside the per-cell
+    cap truncation, exactly like fold_neighbors' counter — the reference
+    visits cells unboundedly, deviceCode.cu:2968-3048).
+
+    The per-slot cell resolution is 8 compares + two one-hot sums over
+    the cell axis — O(8*cap_q*N) elementwise, trivial next to the
+    gathers it replaces.
+    """
+    n = query_pos.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    r2 = merge_radius * merge_radius
+    base = _cell_of(query_pos, grid.scene_min, grid.cell_size)
+    frac = (query_pos - grid.scene_min) / grid.cell_size - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+
+    cs = jnp.arange(8, dtype=jnp.int32)
+    dxyz = jnp.stack([(cs >> 0) & 1, (cs >> 1) & 1, (cs >> 2) & 1],
+                     axis=-1)                                # [8,3]
+    off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
+    h_all = _hash_cells(base[None, :, :] + off_all,
+                        grid.table_size)                     # [8,N]
+    start_all = grid.cell_start[h_all]
+    count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+
+    cnt = jnp.minimum(count_all, max_per_cell)               # [8,N]
+    cum = jnp.cumsum(cnt, axis=0)                            # [8,N]
+    total = cum[7]                                           # [N]
+    cum0 = jnp.concatenate([jnp.zeros((1, n), cum.dtype), cum[:-1]],
+                           axis=0)                           # [8,N]
+
+    ks = jnp.arange(cap_q, dtype=jnp.int32)                  # [cap_q]
+    # cell of slot k = #cells whose cumulative count is <= k
+    cmp = (cum[None, :, :] <= ks[:, None, None])             # [cap_q,8,N]
+    c_idx = jnp.sum(cmp.astype(jnp.int32), axis=1)           # [cap_q,N]
+    onehot = (c_idx[:, None, :] == cs[None, :, None])        # [cap_q,8,N]
+    prev = jnp.sum(jnp.where(onehot, cum0[None], 0), axis=1)
+    st = jnp.sum(jnp.where(onehot, start_all[None], 0), axis=1)
+    p_idx = st + (ks[:, None] - prev)                        # [cap_q,N]
+    ok = active[None, :] & (ks[:, None]
+                            < jnp.minimum(total, cap_q)[None, :])
+
+    rows = grid.rows[jnp.where(ok, p_idx, 0)]                # [cap_q,N,8]
+    diff = query_pos[None, :, :] - rows[:, :, 0:3]
+    ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
+
+    over = jnp.where(active,
+                     jnp.sum(jnp.maximum(count_all - max_per_cell, 0),
+                             axis=0)
+                     + jnp.maximum(total - cap_q, 0), 0)
+    return rows, ok, jnp.sum(over)
+
+
 def photon_table_size(max_photons: int) -> int:
     """nextPrime(2 * maxPhotons), the reference's sizing (deviceCode.cu:3290)."""
     return next_prime(2 * max_photons)

@@ -114,6 +114,55 @@ def test_fold_neighbors_batched_matches_percell(monkeypatch):
 
 
 @pytest.mark.smoke
+def test_neighbor_slots_compact_matches_slots():
+    """neighbor_slots_compact must produce the SAME candidate multiset
+    (and the same fold result up to summation order) as neighbor_slots
+    whenever cap_q covers every query's candidate total, and must count
+    the truncated tail in `dropped` when it doesn't."""
+    rs = np.random.RandomState(5)
+    p = 520
+    pos = rs.uniform(-1, 1, (p, 3)).astype(np.float32)
+    rows = hashgrid.pack_photons(
+        jnp.asarray(pos), jnp.asarray(rs.uniform(-1, 1, (p, 3)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 1, (p, 3)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 9, (p,)), jnp.float32),
+        jnp.asarray(rs.uniform(0, 9, (p,)), jnp.float32))
+    r = 0.25
+    grid = hashgrid.build_grid(rows, jnp.asarray(rs.rand(p) < 0.85),
+                               jnp.asarray([-1.0, -1.0, -1.0]), r,
+                               hashgrid.photon_table_size(p))
+    q = jnp.asarray(rs.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    active = jnp.asarray(rs.rand(64) < 0.9)
+
+    rows_a, ok_a, drop_a = hashgrid.neighbor_slots(grid, q, r, 8,
+                                                   active=active)
+    rows_b, ok_b, drop_b = hashgrid.neighbor_slots_compact(
+        grid, q, r, 8, 64, active=active)
+    # same in-range candidate multiset per query: compare summed decoded
+    # fields (order differs only by compaction)
+    def summarize(rows_x, ok_x):
+        _, wi, beta, d_vcm, d_vm = hashgrid.photon_fields(
+            rows_x.reshape(-1, 8))
+        m = ok_x.reshape(-1, 1)
+        add = (beta * (wi + d_vcm[:, None] + d_vm[:, None])
+               + rows_x.reshape(-1, 8)[:, 0:3])
+        add = jnp.where(m, add, 0.0)
+        return np.asarray(add.reshape(rows_x.shape[0], -1, 3).sum(0)), \
+            np.asarray(ok_x.sum(0))
+    sa, ca = summarize(rows_a, ok_a)
+    sb, cb = summarize(rows_b, ok_b)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
+    assert int(drop_a) == int(drop_b)
+
+    # truncating cap_q counts the tail
+    rows_c, ok_c, drop_c = hashgrid.neighbor_slots_compact(
+        grid, q, r, 8, 2, active=active)
+    assert np.asarray(ok_c.sum(0)).max() <= 2
+    assert int(drop_c) >= int(drop_a)
+
+
+@pytest.mark.smoke
 def test_merge_cap_drop_counter_fires():
     """'No silent caps': a cluster denser than max_per_cell must be
     reported by fold_neighbors(count_dropped=True) — exactly the photons

@@ -72,6 +72,30 @@ def test_vcm_mega_merge_batch_matches_fold(setup, monkeypatch):
                                atol=1e-6)
 
 
+def test_vcm_mega_merge_compactq_matches_slots(setup, monkeypatch):
+    """The per-query compacted candidate stream (TPT_MEGA_MERGE_CAPQ) at a
+    cap covering every candidate (8 cells x cap) must reproduce the
+    default batched-slot merge: same candidates, same drop counter,
+    images equal to summation-order ulps."""
+    import jax
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=5, light_depth=4, max_per_cell=4)
+    outs = {}
+    for capq in ("32", "0"):
+        monkeypatch.setenv("TPT_MEGA_MERGE_CAPQ", capq)
+        jax.clear_caches()  # read at trace time
+        li, _rays, drop = vcm_mega.render_sample(
+            scene, cam, key, 3, px, py, cfg=cfg, steps_per_iter=2,
+            mini_splits=1, count_merge_dropped=True)
+        outs[capq] = (np.asarray(li), int(drop))
+    monkeypatch.delenv("TPT_MEGA_MERGE_CAPQ", raising=False)
+    jax.clear_caches()
+    assert outs["32"][1] == outs["0"][1]
+    np.testing.assert_allclose(outs["32"][0], outs["0"][0], rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_vcm_mega_schedule_invariant(setup):
     scene, cam, px, py = setup
     key = rng.base_key()
