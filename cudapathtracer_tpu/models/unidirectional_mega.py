@@ -119,6 +119,18 @@ EARLY_NEE = _os.environ.get("TPT_MEGA_EARLY_NEE", "0") not in ("0", "")
 # may win at wider W or higher K where the sweep scales worse.
 RETIRE = _os.environ.get("TPT_MEGA_RETIRE", "slots")
 RETIRE_CAP = int(_os.environ.get("TPT_MEGA_RETIRE_CAP", "0"))
+# "window" retirement: the [K,W] one-hot sweep (61 us/iter at the 1080p
+# defaults — 17% of the headline, TPT_MEGA_ABLATE_RETIRE A/B 11.85 ->
+# 13.87) only ever WRITES rows in the narrow band of ret_count values
+# that are actually retiring this transition, so sweep a [R,W]
+# dynamic-slice window based at min(ret_count | retiring) instead of all
+# K rows. Lanes whose ret_count falls beyond the window (spread > R
+# generations — rare) defer exactly like the scatter mode's pend lanes
+# and flush on a later transition once the window advances (the window
+# base is the min over DEFERRED-OR-DEAD lanes, so progress is
+# guaranteed). Image-identical: same slots, same values, only the write
+# schedule changes.
+RETIRE_WIN = int(_os.environ.get("TPT_MEGA_RETIRE_WIN", "32"))
 # Slot-retirement flush cadence: with F > 1, only every F-th transition
 # runs the [K,W] slot sweep (61 us/iter at the 1080p defaults); finished
 # lanes in between park on the `pend` flag (pid/li held, excluded from
@@ -249,7 +261,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
     n_chunks = -(-p_total // c_pix)
     retire = retire or RETIRE
     scatter_ret = retire == "scatter"
+    window_ret = retire == "window"
     k_slots = 1 if scatter_ret else int(gens * KSLOTS_FACTOR) + 8
+    ret_win = min(RETIRE_WIN, k_slots)
     # flush capacity: steady-state retires/transition are ~W/18 at the
     # 1080p defaults; 1/4 width covers bursts with slack (overflow only
     # defers, never drops)
@@ -525,6 +539,43 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             # written to the slot buffers and no lane refills from them
             pend = s.pend | dead
             acc, ret_pid, ret_count = s.acc, s.ret_pid, s.ret_count
+            img = s.img
+            want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
+        elif window_ret:
+            # windowed slot sweep (see RETIRE_WIN): one-hot over a
+            # [ret_win, W] dynamic-slice of the slot buffers based at the
+            # lowest retiring ret_count; out-of-window lanes (> ret_win
+            # generations ahead of the lagging retiree — rare) park on
+            # `pend` like the scatter mode and flush once the window
+            # advances. Same slots, same values as the full sweep.
+            retire_set = s.pend | dead
+            rc = s.ret_count
+            if _os.environ.get("TPT_MEGA_ABLATE_RETIRE"):
+                acc, ret_pid = s.acc, s.ret_pid
+                ret_count = rc + retire_set.astype(jnp.int32)
+                pid = jnp.where(retire_set, -1, pid)
+                pend = jnp.zeros_like(s.pend)
+            else:
+                k_lo = jnp.min(jnp.where(retire_set, rc,
+                                         jnp.int32(k_slots)))
+                k_lo = jnp.clip(k_lo, 0, max(k_slots - ret_win, 0))
+                in_win = retire_set & (rc < k_lo + ret_win)
+                rel = rc - k_lo
+                kk_ar = jnp.arange(ret_win, dtype=jnp.int32)
+                mg = in_win[None, :] & (rel[None, :] == kk_ar[:, None])
+                li_pk = packing.pack_rgb9e5_cols(li)
+                acc_w = jax.lax.dynamic_slice(
+                    s.acc, (k_lo, 0), (ret_win, s.acc.shape[1]))
+                pid_w = jax.lax.dynamic_slice(
+                    s.ret_pid, (k_lo, 0), (ret_win, s.ret_pid.shape[1]))
+                acc_w = jnp.where(mg, li_pk[None, :], acc_w)
+                pid_w = jnp.where(mg, pid[None, :], pid_w)
+                acc = jax.lax.dynamic_update_slice(s.acc, acc_w, (k_lo, 0))
+                ret_pid = jax.lax.dynamic_update_slice(s.ret_pid, pid_w,
+                                                       (k_lo, 0))
+                ret_count = rc + in_win.astype(jnp.int32)
+                pid = jnp.where(in_win, -1, pid)
+                pend = retire_set & ~in_win
             img = s.img
             want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         else:

@@ -70,6 +70,36 @@ def test_mega_schedule_invariance():
     assert (np.abs(a - b) < 1e-5).mean() > 0.9
 
 
+def test_mega_retire_modes_bit_identical():
+    """The windowed slot sweep (retire="window") and the scatter flush
+    (retire="scatter") write the same values for every finished path as
+    the full [K,W] sweep — only the write schedule differs. Images and
+    ray counts must match the default exactly (bit-identical for window:
+    same slots, same RGB9E5 packing; scatter sums in a different order
+    so it gets allclose)."""
+    scene, _ = build_scene(builtin.cornell_with_spheres(),
+                           builtin_materials())
+    cam = Camera.pinhole((0.0, 0.0, 1.0), 12, 12, 0.0, 0.0, 0.0, 60.0)
+    px, py = jnp.meshgrid(jnp.arange(12), jnp.arange(12))
+    px, py = px.ravel(), py.ravel()
+    key = rng.base_key()
+    kw = dict(max_depth=6, width=24, steps_per_iter=2, mini_splits=1)
+    base, rb = unidirectional_mega.render_sample(
+        scene, cam, key, 2, px, py, retire="slots", **kw)
+    win, rw = unidirectional_mega.render_sample(
+        scene, cam, key, 2, px, py, retire="window", **kw)
+    sca, rs = unidirectional_mega.render_sample(
+        scene, cam, key, 2, px, py, retire="scatter", **kw)
+    assert int(rb) == int(rw) == int(rs)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(win))
+    # scatter flushes float li directly (no RGB9E5 slot packing), so it
+    # differs from the quantized modes by the 9-bit-mantissa quantum
+    # (shared-exponent: a dim channel's quantum is 2^-9 of the bright
+    # channel, so dim channels see large RELATIVE steps)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(sca),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_mega_early_nee_overlap_invariant():
     """mini_splits > 1 fires the early-NEE overlap (the mini launches a
     drained closest lane's NEE shadow before the shade). The image and
