@@ -341,8 +341,11 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
     c_pix = gens * w
     is_bdpt = flavor == "bdpt"
     from cudapathtracer_tpu.models.unidirectional_mega import (RETIRE,
-                                                               RETIRE_CAP)
+                                                               RETIRE_CAP,
+                                                               RETIRE_WIN)
     scatter_ret = RETIRE == "scatter"
+    window_ret = RETIRE == "window"
+    ret_win = min(RETIRE_WIN, k_slots)
     ret_cap = min(w, RETIRE_CAP or max(-(-(w // 4) // 128) * 128, 256))
     fstep = make_fused_step(scene).lane_major
     num_lights = max(scene.num_lights, 1)
@@ -894,6 +897,33 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
             pid = jnp.where(m_sel, -1, pid)
             acc, ret_pid, ret_count = s.acc, s.ret_pid, s.ret_count
             want = (pid < 0) & (s.next_px < cnt)
+        elif window_ret:
+            # windowed slot sweep — see unidirectional_mega RETIRE_WIN:
+            # one-hot over a [ret_win, W] dynamic-slice based at the
+            # lowest retiring ret_count; out-of-window lanes park on
+            # pend and flush once the window advances. Bit-identical.
+            retire_set = s.pend | dead
+            rc = s.ret_count
+            k_lo = jnp.min(jnp.where(retire_set, rc, jnp.int32(k_slots)))
+            k_lo = jnp.clip(k_lo, 0, max(k_slots - ret_win, 0))
+            in_win = retire_set & (rc < k_lo + ret_win)
+            rel = rc - k_lo
+            kk_ar = jnp.arange(ret_win, dtype=jnp.int32)
+            mg = in_win[None, :] & (rel[None, :] == kk_ar[:, None])
+            acc_w = jax.lax.dynamic_slice(
+                s.acc, (k_lo, 0), (ret_win, s.acc.shape[1]))
+            pid_w = jax.lax.dynamic_slice(
+                s.ret_pid, (k_lo, 0), (ret_win, s.ret_pid.shape[1]))
+            acc_w = jnp.where(mg, packing.pack_rgb9e5_cols(li)[None, :],
+                              acc_w)
+            pid_w = jnp.where(mg, pid[None, :], pid_w)
+            acc = jax.lax.dynamic_update_slice(s.acc, acc_w, (k_lo, 0))
+            ret_pid = jax.lax.dynamic_update_slice(s.ret_pid, pid_w,
+                                                   (k_lo, 0))
+            ret_count = rc + in_win.astype(jnp.int32)
+            pid = jnp.where(in_win, -1, pid)
+            img, pend = s.img, retire_set & ~in_win
+            want = (pid < 0) & (s.next_px < cnt) & (ret_count < k_slots)
         else:
             # fused one-hot packed retirement — see unidirectional_mega
             kk_ar = jnp.arange(k_slots, dtype=jnp.int32)

@@ -96,6 +96,29 @@ def test_vcm_mega_merge_compactq_matches_slots(setup, monkeypatch):
                                atol=1e-6)
 
 
+def test_vcm_mega_window_retire_bit_identical(setup, monkeypatch):
+    """retire="window" (unidirectional_mega.RETIRE, read at trace time)
+    writes the same slots/values as the full [K,W] sweep — bit-identical
+    image, same ray count."""
+    import jax
+
+    from cudapathtracer_tpu.models import unidirectional_mega as um
+    scene, cam, px, py = setup
+    key = rng.base_key()
+    cfg = vcm.VCMConfig(eye_depth=5, light_depth=4, max_per_cell=4)
+    kw = dict(steps_per_iter=2, mini_splits=1, width=24)
+    a, ra = vcm_mega.render_sample(scene, cam, key, 3, px, py, cfg=cfg,
+                                   **kw)
+    monkeypatch.setattr(um, "RETIRE", "window")
+    jax.clear_caches()
+    b, rb = vcm_mega.render_sample(scene, cam, key, 3, px, py, cfg=cfg,
+                                   **kw)
+    monkeypatch.undo()
+    jax.clear_caches()
+    assert int(ra) == int(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vcm_mega_schedule_invariant(setup):
     scene, cam, px, py = setup
     key = rng.base_key()
