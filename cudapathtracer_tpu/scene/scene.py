@@ -330,13 +330,15 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     light_f32[:, 16] = np.asarray(lsel, np.int32).view(np.float32)
 
     f32 = lambda a: np.asarray(a, np.float32)
+    node_packed = f32(node_packed)
+    bvh8_table = f32(bvh8.table)
     scene = Scene(
         tri_f32=tri_f32,
         node_bounds=f32(bvh.bounds[0:1]),
         node_leaf=np.zeros((1, 2), np.int32),
         node_links=np.zeros((1, 2), np.int32),
-        node_packed=f32(node_packed),
-        bvh8_table=f32(bvh8.table),
+        node_packed=node_packed,
+        bvh8_table=bvh8_table,
         light_f32=light_f32,
         materials=table,
         textures=f32(textures),
@@ -351,7 +353,57 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         mat_type_mask=int(np.bitwise_or.reduce(
             np.int64(1) << np.unique(mat_types[tri_mat]).astype(np.int64))),
     )
-    return jax.device_put(scene), bvh
+    # Upload with BIT-EXACTNESS VERIFICATION (round 5): the shared axon
+    # tunnel was observed to intermittently canonicalize NaN bit patterns
+    # and flush denormals in f32 transfers under concurrent load — which
+    # silently destroys every i32-bitcast column in these blocks (mat ids,
+    # light indices, BVH links/ids all read back as 0 or 0x7FC00000 and
+    # the render is garbage). A device-side XOR-32 checksum per block
+    # (scalar readback, ~ms) catches it; mismatches retry the put and
+    # raise after repeated failure rather than render a corrupted scene.
+    host_blocks = dict(tri_f32=tri_f32, light_f32=light_f32,
+                       node_packed=node_packed, bvh8_table=bvh8_table)
+    dev = None
+    for attempt in range(5):
+        dev = jax.device_put(scene)
+        if _upload_bits_ok(dev, host_blocks):
+            return dev, bvh
+        import time as _time
+        _time.sleep(0.5 * (attempt + 1))
+    raise RuntimeError(
+        "scene upload corrupted by the device transfer path (bitcast-int "
+        "columns failed the XOR-32 checksum after 5 attempts) — the "
+        "shared TPU tunnel is canonicalizing float bit patterns; retry "
+        "later or set TPT_NO_UPLOAD_CHECK=1 to (dangerously) skip")
+
+
+@jax.jit
+def _xor32_device(*xs) -> jax.Array:
+    outs = []
+    for x in xs:
+        v = jax.lax.bitcast_convert_type(x, jnp.uint32).ravel()
+        outs.append(jax.lax.reduce(v, jnp.uint32(0),
+                                   jax.lax.bitwise_xor, (0,)))
+    return jnp.stack(outs)
+
+
+def _upload_bits_ok(dev_scene, host_blocks) -> bool:
+    if os.environ.get("TPT_NO_UPLOAD_CHECK"):
+        return True
+    names = list(host_blocks)
+    got = np.asarray(_xor32_device(*(getattr(dev_scene, n)
+                                     for n in names)))
+    for i, name in enumerate(names):
+        want = int(np.bitwise_xor.reduce(
+            np.ascontiguousarray(host_blocks[name])
+            .view(np.uint32).ravel())) & 0xFFFFFFFF
+        if int(got[i]) != want:
+            import sys
+            print(f"WARNING: scene upload checksum mismatch on {name} "
+                  f"(device {int(got[i]):#010x} != host {want:#010x})"
+                  " — retrying the upload", file=sys.stderr)
+            return False
+    return True
 
 
 LEAF_MAT_FLAG = 1 << 30  # bit30 of a packed triangle id: material is MAT_LEAF

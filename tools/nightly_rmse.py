@@ -154,17 +154,26 @@ def visible_emission(scene, cam, key, px, py, spp=8):
     from cudapathtracer_tpu.utils import rng as rng_mod
 
     pid = rng_mod.pixel_ids(px, py)
-    em = np.zeros((px.shape[0], 3), np.float64)
-    for s in range(spp):
+
+    # one jit for the whole per-sample computation: EAGER ops/readbacks of
+    # large f32 buffers through the axon tunnel canonicalize NaN patterns
+    # and flush denormals, destroying the i32-bitcast light_ind column
+    # this probe reads (observed round 5 on the 10k-tri specular scene:
+    # eager reads said every triangle was a light while in-jit consumers
+    # saw correct bits). Float outputs are safe to read back.
+    @jax.jit
+    def one(s):
         ekey = jax.random.fold_in(rng_mod.sample_key(key, s), 2)
         estart, _ = paths.start_eye_walk(scene, cam, ekey, px, py, ids=pid)
         hit = traverse.closest_hit(scene, estart.o, estart.d)
         info = traverse.interpolate_hit(scene, estart.o, estart.d, hit)
-        is_l = np.asarray(hit.valid & (info["light_ind"] >= 0)
-                          & ~info["backface"])
-        le = np.asarray(scene.light_emission[
-            jnp.maximum(info["light_ind"], 0)])
-        em += np.where(is_l[:, None], le, 0.0)
+        is_l = (hit.valid & (info["light_ind"] >= 0) & ~info["backface"])
+        le = scene.light_emission[jnp.maximum(info["light_ind"], 0)]
+        return jnp.where(is_l[:, None], le, 0.0)
+
+    em = np.zeros((px.shape[0], 3), np.float64)
+    for s in range(spp):
+        em += np.asarray(one(jnp.int32(s)), np.float64)
     return em / spp
 
 
