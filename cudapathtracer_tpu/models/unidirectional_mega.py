@@ -76,8 +76,14 @@ _D_RR = 8
 # cadence): spi 8/6/5/4 -> 9.46/11.16/10.92/10.67 at w=12960; width
 # resweep at spi=6: 7776/9720/12960/16200 -> 11.35/11.67/11.16/10.51.
 # New defaults spi=6/mini=6/w=9720 (same-hour baseline was 9.35).
+# Round-5 re-sweep after the step tensorization (same-hour, 1080p):
+# the cheaper step moved the optimum wider and to fewer minis —
+# (spi,mini,w) 6/6/9720: 14.11, 6/6/12960: 14.64, 6/3/12960: 15.07,
+# 6/2/12960: 14.99, 6/3/16200: 14.90, 8/4/12960: 14.30 Mrays/s.
+# New defaults spi=6/mini=3/w=12960 (same-hour old-default baseline
+# 13.05-13.10; +15.5%).
 STEPS_PER_ITER = int(_os.environ.get("TPT_MEGA_STEPS_PER_ITER", "6"))
-MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
+MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "3"))
 # Default lane count of the persistent machine. Measured on v5e (1080p
 # Cornell+mesh sweep, 2026-08): full-frame lanes (2M) ride the pixel queue
 # with huge idle drain tails — 5.4 Mrays/s; ~52k lanes with the dynamic
@@ -87,7 +93,7 @@ MINI_SPLITS = int(_os.environ.get("TPT_MEGA_MINI_SPLITS", "6"))
 # 1080p same-hour sweep with fused retirement + KSLOTS_FACTOR=1:
 # w=51840: 6.5, 25920: 7.4, 12960: 7.86, 6480: 7.38 Mrays/s -> 12960;
 # re-swept to 9720 with hybrid BVH8 rows (see STEPS_PER_ITER note).
-MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "9720"))
+MEGA_WIDTH = int(_os.environ.get("TPT_MEGA_WIDTH", "12960"))
 # Retire-slot capacity factor: k_slots = factor*gens + 8. Any factor >= 1
 # is exact (all lanes slot-full while queue pixels remain is impossible:
 # W*(gens+8) > gens*W = queue length, so some lane always has a free slot

@@ -142,20 +142,18 @@ def _node_stage(rowT, oT, inv_dT, t_cut, active):
     key = (tb & jnp.int32(~7)) | slots                    # [8,N]
     live = active[None, :] & hit8
     key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
-    ks = _sort8_keys([key[i] for i in range(8)])
-    metas = []
-    count = jnp.zeros_like(base)
-    for i, k in enumerate(ks):
-        g = k != _KEY_INVALID
-        metas.append(jnp.where(g, base + (k & 7), -1))
-        if i > 0:
-            count = count + g.astype(jnp.int32)
+    ks = jnp.stack(_sort8_keys([key[i] for i in range(8)]))  # [8,N]
+    # tensorized meta reconstruction (round 5: the step is op-COUNT bound
+    # at the production width, so per-slot python loops became [8,N] ops)
+    g = ks != _KEY_INVALID
+    metas = jnp.where(g, base[None, :] + (ks & 7), -1)    # [8,N]
+    count = jnp.sum(g[1:].astype(jnp.int32), axis=0)
     return metas[0], metas[1:], count
 
 
 def _push_block(stack, top, deferred, count):
-    """Push `count[n]` of the (up to 7) NEAR-FIRST `deferred` entries per
-    lane in one block: shift the stack down by count via three masked
+    """Push `count[n]` of the (up to 7) NEAR-FIRST `deferred` [7,N] entries
+    per lane in one block: shift the stack down by count via three masked
     power-of-two row shifts, then write the new entries into FIXED rows
     0..count-1 — contiguous full-lane copies and row writes only. Overflow
     drops the DEEPEST entries (shifted off the end) and flags `lost`;
@@ -166,22 +164,37 @@ def _push_block(stack, top, deferred, count):
         m = (count & bit) != 0
         shifted = jnp.concatenate([stack[:bit], stack[:-bit]], axis=0)
         stack = jnp.where(m[None, :], shifted, stack)
-    # entries stored biased by +1 in the stack's (possibly u16) dtype
-    head = [jnp.where(i < count, (deferred[i] + 1).astype(dt), stack[i])
-            for i in range(7)]
-    stack = jnp.concatenate([jnp.stack(head, axis=0), stack[7:]], axis=0)
+    # entries stored biased by +1 in the stack's (possibly u16) dtype;
+    # one [7,N] select instead of 7 per-row ops (round-5 tensorization)
+    sl = jnp.arange(7, dtype=count.dtype)[:, None]
+    head = jnp.where(sl < count[None, :], (deferred + 1).astype(dt),
+                     stack[:7])
+    stack = jnp.concatenate([head, stack[7:]], axis=0)
     new_top = top + count
     lost = new_top > d_rows
     return stack, jnp.minimum(new_top, d_rows), lost
 
 
-def _mt9(oT, dT, tri9, t_cut, skip_tri, active, tid):
-    """Möller-Trumbore on one leaf slot's transposed triangle rows.
+_TRI_OFF = 50  # scene/bvh8.py TRI_OFF: inline triangles start here
 
-    oT, dT: [3,N]; tri9: [9,N] (v0, e1, e2 component rows). Every op is a
-    full-lane [N] vector op. Returns (t, u, v, ok) each [N]."""
-    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (tri9[i] for i in range(9))
-    ox, oy, oz = oT[0], oT[1], oT[2]
+
+def _leaf_tris(rowT, oT, dT, t_cut, skip_tri, active, lt):
+    """Batched Möller-Trumbore over the row's `lt` INLINE triangles in ONE
+    [lt,N] tensor pass (round 5: the per-slot python-loop form emitted
+    ~30 HLO ops PER SLOT and the step is op-count bound at the production
+    width; the [lt,N] form keeps the lane dimension minor, so there is no
+    minor-dim padding — unlike the rejected [N,lt,3] layout).
+    Runs on every row (hybrid layout): pure inner rows carry -1 ids.
+
+    Returns (tt, uu, vv, ok, tid, raw), each [lt,N]."""
+    raw = _i32(rowT[_TRI_OFF + 9 * lt:_TRI_OFF + 10 * lt])  # [lt,N]
+    n = rowT.shape[1]
+    tri = rowT[_TRI_OFF:_TRI_OFF + 9 * lt].reshape(lt, 9, n)
+    tid = jnp.where(raw < 0, -1, raw & ~LEAF_MAT_FLAG)      # [lt,N]
+    v0x, v0y, v0z = tri[:, 0], tri[:, 1], tri[:, 2]         # [lt,N]
+    e1x, e1y, e1z = tri[:, 3], tri[:, 4], tri[:, 5]
+    e2x, e2y, e2z = tri[:, 6], tri[:, 7], tri[:, 8]
+    ox, oy, oz = oT[0], oT[1], oT[2]                        # [N] broadcast
     dx, dy, dz = dT[0], dT[1], dT[2]
     hx = dy * e2z - dz * e2y
     hy = dz * e2x - dx * e2z
@@ -197,58 +210,30 @@ def _mt9(oT, dT, tri9, t_cut, skip_tri, active, tid):
     v = f * (dx * qx + dy * qy + dz * qz)
     t = f * (e2x * qx + e2y * qy + e2z * qz)
     ok = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
-          & active & (tid >= 0) & (t < t_cut) & (tid != skip_tri))
-    return t, u, v, ok
-
-
-_TRI_OFF = 50  # scene/bvh8.py TRI_OFF: inline triangles start here
-
-
-def _leaf_tris(rowT, oT, dT, t_cut, skip_tri, active, lt):
-    """Batched Möller-Trumbore over the row's `lt` INLINE triangles —
-    per-slot full-lane component math (no [N,lt,3] minor-dim padding).
-    Runs on every row (hybrid layout): pure inner rows carry -1 ids.
-
-    Returns per-slot lists (tt, uu, vv, ok, tid) and raw [lt,N]."""
-    raw = _i32(rowT[_TRI_OFF + 9 * lt:_TRI_OFF + 10 * lt])  # [lt,N]
-    tt, uu, vv, ok, tid = [], [], [], [], []
-    for j in range(lt):
-        tidj = jnp.where(raw[j] < 0, -1, raw[j] & ~LEAF_MAT_FLAG)
-        t, u, v, okj = _mt9(oT, dT, rowT[_TRI_OFF + 9 * j:
-                                         _TRI_OFF + 9 * j + 9],
-                            t_cut, skip_tri, active, tidj)
-        tt.append(t)
-        uu.append(u)
-        vv.append(v)
-        ok.append(okj)
-        tid.append(tidj)
-    return tt, uu, vv, ok, tid, raw
+          & active[None, :] & (tid >= 0) & (t < t_cut[None, :])
+          & (tid != skip_tri[None, :]))
+    return t, u, v, ok, tid, raw
 
 
 def _leaf_closest(tt, uu, vv, ok, tid, t_best, tri, u, v):
     """Fold the row's best triangle hit into (t_best, tri, u, v) via a
-    packed-key min (slot index in the low mantissa bits — unique winner).
-    Exact t ties resolve to the first slot like the sequential reference
-    loop."""
-    lt = len(tt)
+    packed-key min over the [lt,N] slot axis (slot index in the low
+    mantissa bits — unique winner, so a masked sum extracts the winning
+    slot's values exactly). Exact t ties resolve to the first slot like
+    the sequential reference loop."""
+    lt = tt.shape[0]
     mask_bits = jnp.int32(~3) if lt <= 4 else jnp.int32(~15)
-    keys = []
-    for j in range(lt):
-        tb = jax.lax.bitcast_convert_type(jnp.maximum(tt[j], 0.0), jnp.int32)
-        keys.append(jnp.where(ok[j], (tb & mask_bits) | j,
-                              jnp.int32(_KEY_INVALID)))
-    kmin = keys[0]
-    for k in keys[1:]:
-        kmin = jnp.minimum(kmin, k)
+    sl = jnp.arange(lt, dtype=jnp.int32)[:, None]
+    tb = jax.lax.bitcast_convert_type(jnp.maximum(tt, 0.0), jnp.int32)
+    keys = jnp.where(ok, (tb & mask_bits) | sl, jnp.int32(_KEY_INVALID))
+    kmin = jnp.min(keys, axis=0)
     hit = kmin != _KEY_INVALID
-    nt, ntri, nu, nv = t_best, tri, u, v
-    for j in range(lt):
-        sel = keys[j] == kmin                 # exactly one (slot bits unique)
-        win = sel & hit
-        nt = jnp.where(win, tt[j], nt)
-        ntri = jnp.where(win, tid[j], ntri)
-        nu = jnp.where(win, uu[j], nu)
-        nv = jnp.where(win, vv[j], nv)
+    sel = keys == kmin[None, :]   # exactly one True per hit column
+    pick = lambda a: jnp.sum(jnp.where(sel, a, a.dtype.type(0)), axis=0)
+    nt = jnp.where(hit, pick(tt), t_best)
+    ntri = jnp.where(hit, pick(tid), tri)
+    nu = jnp.where(hit, pick(uu), u)
+    nv = jnp.where(hit, pick(vv), v)
     return nt, ntri, nu, nv
 
 
@@ -258,7 +243,7 @@ def _leaf_shadow(scene, with_leaf, dT, uu, vv, ok, tid, raw, scale, blocked):
     the darkness early-out (<0.01) is applied after the row's full product
     (BVHShadowRay applies it per hit in traversal order — same fixpoint,
     the running scale only ever shrinks)."""
-    lt = len(ok)
+    lt = ok.shape[0]
     if with_leaf:
         factor = [jnp.ones_like(scale[0]) for _ in range(3)]
         opaque = jnp.zeros_like(blocked)
@@ -288,10 +273,7 @@ def _leaf_shadow(scene, with_leaf, dT, uu, vv, ok, tid, raw, scale, blocked):
         dark = jnp.max(scale, axis=0) < 0.01
         blocked = blocked | opaque | (any_leaf & dark)
     else:
-        anyhit = ok[0]
-        for j in range(1, lt):
-            anyhit = anyhit | ok[j]
-        blocked = blocked | (anyhit & ~blocked)
+        blocked = blocked | jnp.any(ok, axis=0)
     scale = jnp.where(blocked[None, :], 0.0, scale)
     return scale, blocked
 
@@ -514,15 +496,14 @@ def make_fused_step(scene):
         stack, top, lost = _push_block(stack, top, deferred, kpush)
         lostc = jnp.where(lost, lostc | 1, lostc)
 
-        # ---- inline triangles: per-slot full-lane tests, mode-split
+        # ---- inline triangles: one [lt,N] tensor pass, mode-split
         tt, uu, vv, ok, tid, raw = _leaf_tris(rowT, oT, dT, t_cut, skip_tri,
                                               valid, lt)
-        okc = [o_ & ~is_shadow for o_ in ok]
-        t_cut, tri, u, v = _leaf_closest(tt, uu, vv, okc, tid,
-                                         t_cut, tri, u, v)
+        t_cut, tri, u, v = _leaf_closest(tt, uu, vv, ok & ~is_shadow[None, :],
+                                         tid, t_cut, tri, u, v)
         blocked = jnp.zeros_like(entry, dtype=bool)
-        oks = [o_ & is_shadow for o_ in ok]
-        scale, blocked = _leaf_shadow(scene, with_leaf, dT, uu, vv, oks,
+        scale, blocked = _leaf_shadow(scene, with_leaf, dT, uu, vv,
+                                      ok & is_shadow[None, :],
                                       tid, raw, scale, blocked)
 
         direct = new_direct
