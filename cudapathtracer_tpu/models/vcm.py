@@ -218,8 +218,12 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             pmask = jax.lax.all_gather(pmask, photon_axis, axis=0,
                                        tiled=True)
         table = hashgrid.photon_table_size(rows.shape[0])
+        # per-sample salt randomizes within-bucket order so the merge
+        # cap's reweighted subsample is unbiased (hashgrid module doc)
+        salt = (jnp.asarray(sample_idx, jnp.uint32)
+                * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
         grid = hashgrid.build_grid(rows, pmask, scene.node_bounds[0, 0:3],
-                                   mr, table)
+                                   mr, table, salt=salt)
 
     # ---- eye pass (on-the-fly walk + per-bounce connections/merge) ----
     estart, _ = paths.start_eye_walk(scene, camera, key_e, px, py, ids=pid)
@@ -392,8 +396,9 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
             merge_norm = 1.0 / (PI * mr * mr * n_paths)
             eye_prev_loc = to_local(normalize(prev_pt - pos), normal)
 
-            def merge_fold(colorsum, row, in_range):
-                # wi points toward the photon's prev vertex
+            def merge_fold(colorsum, row, in_range, w_cell):
+                # wi points toward the photon's prev vertex; w_cell is
+                # the cap-reweighting factor (hashgrid._cell_weight)
                 _, photon_wi, p_beta, p_d_vcm, p_d_vm = \
                     hashgrid.photon_fields(row)
                 wi_loc = to_local(photon_wi, normal)
@@ -408,7 +413,8 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                 w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                     + pdf_light_rev * p_d_vm
                 weight = 1.0 / (1.0 + w_eye + w_light)
-                contrib = p_beta * f_val * thr * merge_norm
+                contrib = (p_beta * f_val * thr * merge_norm
+                           * w_cell[:, None])
                 out = _weighted(contrib, weight, cfg)
                 return colorsum + jnp.where(in_range[:, None], out, 0.0)
 

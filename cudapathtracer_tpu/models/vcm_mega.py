@@ -703,7 +703,7 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                 eye_prev_loc = lm.to_localT(prev_dir_m, normal_m)
                 ones_m = jnp.ones_like(dvcm_m)
 
-                def merge_fold(csum, row, in_range):
+                def merge_fold(csum, row, in_range, w_cell):
                     _, p_wi, p_beta, p_d_vcm, p_d_vm = \
                         hashgrid.photon_fields(row)
                     photon_wi = p_wi.T
@@ -719,7 +719,8 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                         + pdf_light_rev * p_d_vm
                     wt = 1.0 / (1.0 + w_eye + w_light)
-                    contrib = p_beta.T * f_m * thr_m * merge_norm
+                    contrib = (p_beta.T * f_m * thr_m
+                               * (merge_norm * w_cell)[None, :])
                     out = _weightedT(contrib, wt, cfg)
                     return csum + jnp.where(in_range[None, :], out, 0.0)
 
@@ -748,14 +749,15 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     cap_q = int(_os.environ.get("TPT_MEGA_MERGE_CAPQ",
                                                 "0"))
                     if cap_q > 0:
-                        rows_s, ok_s, drop_add = \
+                        rows_s, ok_s, wgt_s, drop_add = \
                             hashgrid.neighbor_slots_compact(
                                 grid, npos_m.T, mr, cfg.max_per_cell,
                                 cap_q, active=active_m)
                     else:
-                        rows_s, ok_s, drop_add = hashgrid.neighbor_slots(
-                            grid, npos_m.T, mr, cfg.max_per_cell,
-                            active=active_m)
+                        rows_s, ok_s, wgt_s, drop_add = \
+                            hashgrid.neighbor_slots(
+                                grid, npos_m.T, mr, cfg.max_per_cell,
+                                active=active_m)
                     mslots = rows_s.shape[0]
                     def btn(x):
                         # tile any [..., nm] lane array across the slot
@@ -787,7 +789,9 @@ def _mk_eye_machine(scene, camera, cfg: VCMConfig, skey_e, cam_key, w,
                     w_light = p_d_vcm / jnp.maximum(eta_vcm, 1e-30) \
                         + pdf_light_rev * p_d_vm
                     wt = 1.0 / (1.0 + w_eye + w_light)
-                    contrib = p_beta.T * f_m * bt3(thr_m) * merge_norm
+                    contrib = (p_beta.T * f_m * bt3(thr_m)
+                               * (merge_norm
+                                  * wgt_s.reshape(mslots * nm))[None, :])
                     out = _weightedT(contrib, wt, cfg)
                     out = jnp.where(ok_s.reshape(mslots * nm)[None, :],
                                     out, 0.0)
@@ -1176,9 +1180,11 @@ def render_sample(scene, camera, base_key, sample_idx, px, py, *,
                                          flat(lbufs.d_vcm),
                                          flat(lbufs.d_vm))
             table = hashgrid.photon_table_size(rows.shape[0])
+            salt = (jnp.asarray(sample_idx, jnp.uint32)
+                    * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
             grid = hashgrid.build_grid(rows, pmask,
                                        scene.node_bounds[0, 0:3], mr,
-                                       table)
+                                       table, salt=salt)
 
         conn_table = _pack_conn_table(lbufs)
 

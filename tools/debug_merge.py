@@ -176,7 +176,7 @@ def main():
         mat = scene.materials.gather(info["mat_id"])
         conn = hit.valid & ~mat.is_specular
 
-        def fold(cnt, row, in_range):
+        def fold(cnt, row, in_range, w):
             return cnt + in_range.astype(jnp.int32)
 
         cnt = hashgrid.fold_neighbors(grid, info["point"], mr, 64, fold,
