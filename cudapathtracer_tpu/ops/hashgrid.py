@@ -48,6 +48,37 @@ def _cell_weight(count, max_per_cell):
     kept = jnp.maximum(jnp.minimum(count, max_per_cell), 1)
     return count.astype(jnp.float32) / kept.astype(jnp.float32)
 
+
+# ONE-BRICK merge window (round 5; read at TRACE time like the toggles
+# below): the standard query fetches n_wide=2 consecutive 8-photon bricks
+# per cell because a cell's <=cap photon window starts at an arbitrary
+# offset within the sorted buffer. The merge stage is gather-ROW bound on
+# v5e (ROADMAP round-5 config6 attribution: row width and BSDF slot work
+# are free, total brick rows fetched are the cost), so instead this mode
+# visits ONLY the photons of the single brick containing cell_start:
+# kept = min(count, cap, 8 - (start & 7)). With the per-sample SALT
+# randomizing each bucket's order (build_grid), those kept photons are a
+# uniform random subset of the cell, so the count/kept reweighting keeps
+# the estimator an exact-expectation subsample of the reference's
+# unbounded per-cell visit (deviceCode.cu:2992-3048) — same argument as
+# the cap reweighting above, with a salt-independent random window size.
+# Cost: 8 brick rows per query instead of 16 (and no 2-brick rotate
+# selects); price: more subsampling variance in dense cells (expected
+# kept ~4.5 instead of 8 when count >= 8). Requires reweighting: with
+# TPT_MERGE_REWEIGHT=0 the window would simply lose energy, so the mode
+# silently disables itself there and on unsalted grids the subset is
+# deterministic (still correct in expectation over photon order only).
+def one_brick_active(max_per_cell: int) -> bool:
+    return (os.environ.get("TPT_GRID_ONE_BRICK", "0") != "0"
+            and _REWEIGHT and 1 <= max_per_cell <= 8)
+
+
+def _window_weight(count, kept):
+    if not _REWEIGHT:
+        return jnp.ones(count.shape, jnp.float32)
+    return (count.astype(jnp.float32)
+            / jnp.maximum(kept, 1).astype(jnp.float32))
+
 # Packed photon row layout [8] (32 B/photon — the hash-grid analogue of the
 # reference's compressed VCM vertex, objects.cuh:958-1157): pos(0:3) f32 —
 # precision-critical for cell hashing and the exact distance^2 test;
@@ -232,7 +263,8 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     # width-flat), which dominated the VCM merge stage.
     rw = grid.rows.shape[1]
     bricks = grid.rows.reshape(-1, 8 * rw)        # [P8/8, 64]
-    n_wide = (max_per_cell + 7) // 8 + 1
+    one_brick = one_brick_active(max_per_cell)
+    n_wide = 1 if one_brick else (max_per_cell + 7) // 8 + 1
     n_slots = 8 * n_wide
     max_brick = bricks.shape[0] - 1
 
@@ -252,7 +284,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
     # its trace has no effect until caches are cleared.
     batched = (8 * n * n_wide * 8 * rw * 4 <= (192 << 20)
                and os.environ.get("TPT_GRID_BATCH_GATHER", "1") != "0")
-    aligned8 = (1 <= max_per_cell <= 8
+    aligned8 = (not one_brick and 1 <= max_per_cell <= 8
                 and os.environ.get("TPT_GRID_ALIGN_ROTATE", "1") != "0")
     if batched:
         cs = jnp.arange(8, dtype=jnp.int32)
@@ -292,6 +324,14 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
         # slot order (ascending photon index) and masking are identical
         # to the per-slot form; masked adds contribute exact 0.0 so the
         # fold is bit-identical to it.
+        if one_brick:
+            # visit only cell_start's own brick: kept is the part of the
+            # (salt-randomized) bucket prefix that lands in it; the
+            # count/kept weight below keeps the expectation exact.
+            kept = jnp.minimum(jnp.minimum(count, max_per_cell),
+                               8 - (start & 7))
+        else:
+            kept = jnp.minimum(count, max_per_cell)
         if aligned8:
             # rotate each lane's 2-brick window by (start & 7) rows with
             # 8 static-slice selects, so the cell's first <=8 photons
@@ -311,8 +351,7 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                 n, 8, rw).transpose(1, 0, 2)         # [8, N, 8]
             ks = jnp.arange(8, dtype=jnp.int32)
             rel = jnp.broadcast_to(ks[:, None], (8, n))  # slot k == rel
-            slot_ok = (active[None, :]
-                       & (rel < jnp.minimum(count, max_per_cell)[None, :]))
+            slot_ok = active[None, :] & (rel < kept[None, :])
             n_loop = 8
         else:
             rows_k = rows_cat.reshape(
@@ -321,10 +360,10 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
             p_idx = (w0 << 3)[None, :] + ks[:, None]  # photon index [S,N]
             rel = p_idx - start[None, :]
             slot_ok = (active[None, :] & (rel >= 0)
-                       & (rel < jnp.minimum(count, max_per_cell)[None, :]))
+                       & (rel < kept[None, :]))
             n_loop = n_slots
 
-        wc = _cell_weight(count, max_per_cell)
+        wc = _window_weight(count, kept)
 
         def slot_body(k, carry):
             row = jax.lax.dynamic_index_in_dim(rows_k, k, 0,
@@ -337,8 +376,11 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
 
         carry = jax.lax.fori_loop(0, n_loop, slot_body, carry)
         if count_dropped:
-            over = jnp.where(active,
-                             jnp.maximum(count - max_per_cell, 0), 0)
+            # == max(count - cap, 0) on the standard path; additionally
+            # counts the brick-window truncation in one-brick mode (the
+            # reweighting makes either a variance cost, not an energy
+            # loss, but the counter keeps the subsampling observable).
+            over = jnp.where(active, count - kept, 0)
             dropped = dropped + jnp.sum(over)
         return (carry, dropped), None
 
@@ -391,6 +433,31 @@ def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
     start_all = grid.cell_start[h_all]
     count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
     w0_all = start_all >> 3
+
+    if one_brick_active(max_per_cell):
+        # single-brick window (see one_brick_active): fetch ONLY the
+        # brick containing cell_start — 8 brick rows per query instead
+        # of 16 and no rotate selects; the kept = min(count, cap,
+        # 8 - start&7) photons are a salt-uniform subset of the cell,
+        # reweighted by count/kept so the expectation is unchanged.
+        rows_cat = bricks[jnp.minimum(w0_all, max_brick)]    # [8,N,64]
+        rows = rows_cat.reshape(8, n, 8, rw).transpose(
+            0, 2, 1, 3).reshape(64, n, rw)                   # [M=64,N,8]
+        a = start_all & 7                                    # [8,N]
+        kept = jnp.minimum(jnp.minimum(count_all, max_per_cell),
+                           8 - a)                            # [8,N]
+        ks = jnp.arange(8, dtype=jnp.int32)
+        rel = ks[None, :, None] - a[:, None, :]              # [8,8,N]
+        ok = (active[None, None, :] & (rel >= 0)
+              & (rel < kept[:, None, :])).reshape(64, n)
+        diff = query_pos[None, :, :] - rows[:, :, 0:3]
+        ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
+        wgt = jnp.broadcast_to(
+            _window_weight(count_all, kept)[:, None, :],
+            (8, 8, n)).reshape(64, n)
+        over = jnp.where(active[None, :], count_all - kept, 0)
+        return rows, ok, wgt, jnp.sum(over)
+
     rows_cat = jnp.concatenate(
         [bricks[jnp.minimum(w0_all + k, max_brick)] for k in (0, 1)],
         axis=-1)                                             # [8,N,128]

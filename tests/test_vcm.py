@@ -245,6 +245,75 @@ def test_merge_cap_drop_counter_fires():
     assert int(folded2) == 4 * p and int(dropped2) == 0
 
 
+@pytest.mark.smoke
+def test_one_brick_window_unbiased_and_consistent(monkeypatch):
+    """TPT_GRID_ONE_BRICK=1 (round 5): the merge visits only the brick
+    containing cell_start — kept = min(count, cap, 8 - start&7) photons,
+    reweighted by count/kept. Checks: (a) the mean over salts converges
+    to the unbounded sum (unbiased, like the cap reweighting it extends);
+    (b) neighbor_slots and fold_neighbors agree on the weighted candidate
+    sum per query under the mode; (c) every visited window stays inside
+    one brick; (d) the dropped counter includes the window truncation."""
+    rs = np.random.RandomState(13)
+    p = 640
+    pos = rs.uniform(-1, 1, (p // 4, 3)).astype(np.float32)
+    pos = np.repeat(pos, 4, axis=0)  # clustered: cells hold ~4+ photons
+    beta = jnp.asarray(rs.uniform(0.1, 2.0, (p, 3)), jnp.float32)
+    rows = hashgrid.pack_photons(
+        jnp.asarray(pos), jnp.zeros((p, 3)), beta,
+        jnp.zeros((p,)), jnp.zeros((p,)))
+    r = 0.12
+    table = hashgrid.photon_table_size(p)
+    q = jnp.asarray(rs.uniform(-0.9, 0.9, (48, 3)).astype(np.float32))
+    smin = jnp.asarray([-1.0, -1.0, -1.0])
+
+    def fold(c, row, in_range, w):
+        _, _, b, _, _ = hashgrid.photon_fields(row)
+        return c + jnp.where(in_range[:, None], b * w[:, None], 0.0)
+
+    # unbounded reference sum (cap = p covers everything, weight 1)
+    grid0 = hashgrid.build_grid(rows, jnp.ones((p,), bool), smin, r, table)
+    full = np.asarray(hashgrid.fold_neighbors(
+        grid0, q, r, p, fold, jnp.zeros((48, 3))))
+
+    monkeypatch.setenv("TPT_GRID_ONE_BRICK", "1")
+    acc = np.zeros((48, 3))
+    n_salts = 64
+    for s in range(n_salts):
+        g = hashgrid.build_grid(
+            rows, jnp.ones((p,), bool), smin, r, table,
+            salt=jnp.uint32((s * 2654435761 + 101) % (2 ** 32)))
+        out, dropped = hashgrid.fold_neighbors(
+            g, q, r, 8, fold, jnp.zeros((48, 3)), count_dropped=True)
+        acc += np.asarray(out)
+        if s == 0:
+            # (b) the batched slot materialization agrees with the fold
+            rows_s, ok_s, wgt_s, drop_s = hashgrid.neighbor_slots(
+                g, q, r, 8)
+            _, _, b_s, _, _ = hashgrid.photon_fields(
+                rows_s.reshape(-1, 8))
+            add = jnp.where((ok_s.reshape(-1))[:, None],
+                            b_s * (wgt_s.reshape(-1))[:, None], 0.0)
+            slot_sum = np.asarray(add.reshape(rows_s.shape[0], 48, 3)
+                                  .sum(0))
+            np.testing.assert_allclose(slot_sum, np.asarray(out),
+                                       rtol=1e-5, atol=1e-6)
+            assert int(drop_s) == int(dropped)
+            # (c) visited candidates never straddle a brick: each ok
+            # window's photon indices share start>>3 by construction —
+            # M is 64 single-brick slots
+            assert rows_s.shape[0] == 64
+            # (d) window truncation is counted: clustered cells (>4
+            # photons spanning brick boundaries) must report drops even
+            # though cap=8 >= count for most cells
+            assert int(dropped) > 0
+    mean = acc / n_salts
+    # kept >= 1 photon per non-empty cell per salt; SE over 64 salts
+    # comfortably inside 12%
+    nz = full.sum(1) > 1e-3
+    np.testing.assert_allclose(mean[nz], full[nz], rtol=0.12, atol=0.02)
+
+
 def test_vcm_render_sample_reports_dropped(setup):
     """The driver-facing counter: a tiny cap on the Cornell scene must
     fire; the image is unchanged by counting."""
