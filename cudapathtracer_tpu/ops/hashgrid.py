@@ -95,11 +95,22 @@ class PhotonGrid(NamedTuple):
     rows: jax.Array        # [P8, 8] packed sorted photon rows
     #                        (pack_photons), padded to a multiple of 8 so
     #                        they reshape to [P8/8, 64] brick rows
-    cell_start: jax.Array  # [T+1] i32
-    cell_end: jax.Array    # [T+1] i32
+    cell_se: jax.Array     # [T+1, 2] i32 (start, end) — FUSED into one
+    #                        row table so each cell lookup is a single
+    #                        8-byte row gather instead of two element
+    #                        gathers (v5e gather cost is per row fetched;
+    #                        the merge query pays 8 of these per lane)
     scene_min: jax.Array   # [3]
     cell_size: jax.Array   # scalar (= 2 * merge_radius)
     table_size: int        # static
+
+    @property
+    def cell_start(self):
+        return self.cell_se[:, 0]
+
+    @property
+    def cell_end(self):
+        return self.cell_se[:, 1]
 
 
 def pack_photons(pos, wi, beta, d_vcm, d_vm):
@@ -180,8 +191,9 @@ def build_grid(rows, valid, scene_min, merge_radius, table_size: int,
     cell_start = cell_start.at[h_sorted].min(idx)
     cell_end = cell_end.at[h_sorted].max(idx + 1)
 
-    return PhotonGrid(rows=rows_sorted, cell_start=cell_start,
-                      cell_end=cell_end, scene_min=scene_min,
+    return PhotonGrid(rows=rows_sorted,
+                      cell_se=jnp.stack([cell_start, cell_end], axis=-1),
+                      scene_min=scene_min,
                       cell_size=cell_size, table_size=table_size)
 
 
@@ -209,9 +221,9 @@ def gather_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                 off = jnp.stack([step[:, 0] * dx, step[:, 1] * dy,
                                  step[:, 2] * dz], axis=-1)
                 h = _hash_cells(base + off, grid.table_size)
-                start = grid.cell_start[h]
-                end = grid.cell_end[h]
-                count = jnp.maximum(end - start, 0)
+                se = grid.cell_se[h]           # one fused row gather
+                start = se[..., 0]
+                count = jnp.maximum(se[..., 1] - start, 0)
                 for k in range(max_per_cell):
                     valid_slot = active & (k < count)
                     i = jnp.where(valid_slot, start + k, 0)
@@ -293,8 +305,9 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
         off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
         h_all = _hash_cells(base[None, :, :] + off_all,
                             grid.table_size)                     # [8,N]
-        start_all = grid.cell_start[h_all]
-        count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+        se_all = grid.cell_se[h_all]           # one fused row gather
+        start_all = se_all[..., 0]
+        count_all = jnp.maximum(se_all[..., 1] - start_all, 0)
         w0_all = start_all >> 3
         rows_all = jnp.concatenate(
             [bricks[jnp.minimum(w0_all + k, max_brick)]
@@ -313,8 +326,9 @@ def fold_neighbors(grid: PhotonGrid, query_pos, merge_radius,
                              step[:, 1] * ((c >> 1) & 1),
                              step[:, 2] * ((c >> 2) & 1)], axis=-1)
             h = _hash_cells(base + off, grid.table_size)
-            start = grid.cell_start[h]
-            count = jnp.maximum(grid.cell_end[h] - start, 0)
+            se = grid.cell_se[h]               # one fused row gather
+            start = se[..., 0]
+            count = jnp.maximum(se[..., 1] - start, 0)
             w0 = start >> 3
             rows_cat = jnp.concatenate(
                 [bricks[jnp.minimum(w0 + k, max_brick)]
@@ -430,8 +444,9 @@ def neighbor_slots(grid: PhotonGrid, query_pos, merge_radius,
     off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
     h_all = _hash_cells(base[None, :, :] + off_all,
                         grid.table_size)                     # [8,N]
-    start_all = grid.cell_start[h_all]
-    count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+    se_all = grid.cell_se[h_all]               # one fused row gather
+    start_all = se_all[..., 0]
+    count_all = jnp.maximum(se_all[..., 1] - start_all, 0)
     w0_all = start_all >> 3
 
     if one_brick_active(max_per_cell):
@@ -530,8 +545,9 @@ def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
     off_all = step[None, :, :] * dxyz[:, None, :]            # [8,N,3]
     h_all = _hash_cells(base[None, :, :] + off_all,
                         grid.table_size)                     # [8,N]
-    start_all = grid.cell_start[h_all]
-    count_all = jnp.maximum(grid.cell_end[h_all] - start_all, 0)
+    se_all = grid.cell_se[h_all]               # one fused row gather
+    start_all = se_all[..., 0]
+    count_all = jnp.maximum(se_all[..., 1] - start_all, 0)
 
     cnt = jnp.minimum(count_all, max_per_cell)               # [8,N]
     cum = jnp.cumsum(cnt, axis=0)                            # [8,N]
