@@ -227,9 +227,38 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     # only by the binary "threaded" engine — skip their Python-loop build
     # cost (the dominant host cost at ~100k tris) under the default BVH8
     want_threaded = traversal == "threaded"
-    bvh = bvh_mod.build_bvh(centroids, amins, amaxs, max_leaf_size,
-                            use_native=use_native_bvh,
-                            thread=want_threaded)
+    # SBVH spatial splits (TPT_BVH_SBVH=1, opt-in): duplicated references
+    # with clipped bounds cut visited rows on overlap-heavy meshes.
+    # Forbidden with transmissive (MAT_LEAF) materials: any-hit shadow
+    # transmission multiplies per intersected REFERENCE, so a duplicated
+    # leaf triangle would attenuate twice (bvh.build_sbvh docstring).
+    if isinstance(materials, MaterialTable):
+        # caller-provided table may hold device columns; pull ONE host
+        # copy for the row packers (per-column np.asarray would pay a
+        # remote-tunnel round-trip each)
+        table = materials
+        htab = jax.device_get(table)
+    else:
+        # keep columns on host; they ride the single scene device_put
+        table = htab = build_table(materials, device=False)
+    any_leaf_mat = bool(
+        (np.asarray(htab.type)[np.asarray(mesh.mat_id)] == 4).any())
+    use_sbvh = (os.environ.get("TPT_BVH_SBVH", "0") != "0"
+                and not want_threaded and not any_leaf_mat)
+    if use_sbvh:
+        # spatial splits only in the top levels (where the giant-triangle
+        # overlap lives: 82k-tri headline scene keeps the FULL-depth SBVH
+        # quality — 8.4 vs 13.2 expected visited rows — at depth 6), the
+        # native object builder splices in below: 0.8 s build vs 54 s
+        # for full-depth Python SBVH.
+        bvh = bvh_mod.build_sbvh(
+            p0, p1, p2, max_leaf_size,
+            spatial_depth=int(os.environ.get("TPT_BVH_SBVH_DEPTH", "6")),
+            native_below=True)
+    else:
+        bvh = bvh_mod.build_bvh(centroids, amins, amaxs, max_leaf_size,
+                                use_native=use_native_bvh,
+                                thread=want_threaded)
     perm = bvh.perm
 
     p0, p1, p2 = p0[perm], p1[perm], p2[perm]
@@ -246,10 +275,15 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     tri_light = mesh.light_ind[perm]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
-    # light table ordered by light index (light_ind values are dense 0..L-1)
+    # light table ordered by light index (light_ind values are dense 0..L-1).
+    # One row per light_ind even when the builder duplicated references
+    # (SBVH): a duplicated emissive triangle must not double its area
+    # weight in light sampling or break the light_ind -> row mapping.
     lmask = tri_light >= 0
-    lorder = np.argsort(tri_light[lmask], kind="stable")
-    lsel = np.nonzero(lmask)[0][lorder].astype(np.int32)
+    lvals = tri_light[lmask]
+    lrows = np.nonzero(lmask)[0]
+    _, lfirst = np.unique(lvals, return_index=True)  # sorted by light_ind
+    lsel = lrows[lfirst].astype(np.int32)
     num_lights = int(lsel.size)
     if num_lights:
         light_p0, light_p1, light_p2 = p0[lsel], p1[lsel], p2[lsel]
@@ -271,17 +305,7 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
     root_max = bvh.bounds[0, 3:6]
     radius = 0.5 * float(np.linalg.norm(root_max - root_min))
 
-    if isinstance(materials, MaterialTable):
-        # caller-provided table may hold device columns; pull ONE host copy
-        # for the row packers below (per-column np.asarray pulls each paid
-        # a remote-tunnel round-trip)
-        table = materials
-        htab = jax.device_get(table)
-    else:
-        # keep columns on host; they ride the single scene device_put below
-        table = htab = build_table(materials, device=False)
-
-    mat_types = np.asarray(htab.type)
+    mat_types = np.asarray(htab.type)  # table/htab built before the BVH
     tri_is_leaf_mat = mat_types[tri_mat] == 4  # MAT_LEAF
     if want_threaded:
         node_packed = _pack_nodes(bvh, tri_pack, tri_is_leaf_mat)

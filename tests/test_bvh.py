@@ -182,3 +182,32 @@ def test_sah_collapse_covers_all_triangles_and_costs_less():
         # DP optimality: the SAH partition can only lower the expected
         # visited-rows cost (root row is common to both; small float slack)
         assert costs["sah"] <= costs["greedy"] * (1 + 1e-5)
+
+
+def test_sbvh_covers_all_tris_and_bounds_contain_refs():
+    """SBVH (bvh.build_sbvh): references may duplicate triangles, but
+    every triangle appears at least once, every leaf range is in-bounds,
+    parent AABBs contain children, and the reference budget holds."""
+    from cudapathtracer_tpu.scene.builtin import cornell_with_blocks
+    mesh = cornell_with_blocks()
+    pos = mesh.positions
+    p0 = pos[mesh.pos_idx[:, 0]]
+    p1 = pos[mesh.pos_idx[:, 1]]
+    p2 = pos[mesh.pos_idx[:, 2]]
+    b = bvh_mod.build_sbvh(p0, p1, p2, 2)
+    n = p0.shape[0]
+    assert n <= b.perm.size <= int(1.5 * n)
+    assert np.array_equal(np.unique(b.perm), np.arange(n))
+    is_leaf = b.leaf[:, 1] > 0
+    # leaf ranges tile [0, R) exactly once, in pre-order
+    order = np.argsort(b.leaf[is_leaf, 0])
+    firsts = b.leaf[is_leaf, 0][order]
+    counts = b.leaf[is_leaf, 1][order]
+    assert firsts[0] == 0
+    assert np.array_equal(firsts[1:], (firsts + counts)[:-1])
+    assert firsts[-1] + counts[-1] == b.perm.size
+    for i in range(b.num_nodes):
+        if not is_leaf[i]:
+            for ch in (b.left[i], b.right[i]):
+                assert np.all(b.bounds[ch, 0:3] >= b.bounds[i, 0:3] - 1e-5)
+                assert np.all(b.bounds[ch, 3:6] <= b.bounds[i, 3:6] + 1e-5)

@@ -129,3 +129,27 @@ def test_shade_data_matches_interpolate_hit():
         np.testing.assert_array_equal(np.asarray(getattr(mat, f.name)),
                                       np.asarray(getattr(ref_mat, f.name)),
                                       err_msg=f.name)
+
+
+def test_sbvh_matches_brute_force(monkeypatch):
+    """SBVH-built scene (TPT_BVH_SBVH=1): closest hit over duplicated
+    clipped references equals the O(T) oracle — same hit/miss, same
+    distance (duplicate refs of one triangle tie exactly)."""
+    monkeypatch.setenv("TPT_BVH_SBVH", "1")
+    sc, host_bvh = build_scene(cornell_with_blocks(), builtin_materials())
+    assert host_bvh.perm.size > len(set())  # built
+    o, d = rand_rays(512, seed=11)
+    hit = traverse.closest_hit(sc, o, d)
+    bt, btri, bu, bv = intersect.brute_force_closest_hit(
+        o, d, sc.tri_v0, sc.tri_e1, sc.tri_e2)
+    ht, bt_, bb = np.asarray(hit.tri), np.asarray(bt), np.asarray(btri)
+    np.testing.assert_array_equal(ht >= 0, bb >= 0)
+    m = ht >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[m], bt_[m], rtol=1e-5)
+    # against a non-SBVH build of the same mesh: identical hit distances
+    monkeypatch.setenv("TPT_BVH_SBVH", "0")
+    sc0, _ = build_scene(cornell_with_blocks(), builtin_materials())
+    h0 = traverse.closest_hit(sc0, o, d)
+    np.testing.assert_array_equal(ht >= 0, np.asarray(h0.tri) >= 0)
+    np.testing.assert_allclose(np.asarray(hit.t)[m], np.asarray(h0.t)[m],
+                               rtol=1e-5)
