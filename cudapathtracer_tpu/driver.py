@@ -268,11 +268,21 @@ class Renderer:
             if dropped:
                 self.metrics.merge_dropped = dropped
                 if verbose:
-                    print(f"WARNING: photon merge cap truncated {dropped:,} "
-                          f"candidate photons (max_per_cell="
-                          f"{cfg.vcm_max_per_cell}; 'VCM Max Photons Per "
-                          "Cell' in the config raises it if caustics look "
-                          "dim)")
+                    if os.environ.get("TPT_MERGE_REWEIGHT", "1") != "0":
+                        # salted count/kept reweighting makes the capped
+                        # visit an unbiased subsample (ops/hashgrid.py)
+                        print(f"note: photon merge subsampled {dropped:,} "
+                              f"candidate photons (max_per_cell="
+                              f"{cfg.vcm_max_per_cell}; unbiased "
+                              "reweighting — adds merge variance, not "
+                              "energy loss; raise 'VCM Max Photons Per "
+                              "Cell' to trade speed for variance)")
+                    else:
+                        print(f"WARNING: photon merge cap truncated "
+                              f"{dropped:,} candidate photons "
+                              f"(max_per_cell={cfg.vcm_max_per_cell}; "
+                              "'VCM Max Photons Per Cell' in the config "
+                              "raises it if caustics look dim)")
         return self.finish()
 
     # ------------------------------------------------------------------

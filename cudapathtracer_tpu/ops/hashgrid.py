@@ -69,7 +69,10 @@ def _cell_weight(count, max_per_cell):
 # silently disables itself there and on unsalted grids the subset is
 # deterministic (still correct in expectation over photon order only).
 def one_brick_active(max_per_cell: int) -> bool:
-    return (os.environ.get("TPT_GRID_ONE_BRICK", "0") != "0"
+    # DEFAULT ON since round 5 (config6 same-hour 5.27 -> 4.86 s/sample;
+    # all photon-family gates green under the mode): TPT_GRID_ONE_BRICK=0
+    # restores the full 2-brick window.
+    return (os.environ.get("TPT_GRID_ONE_BRICK", "1") != "0"
             and _REWEIGHT and 1 <= max_per_cell <= 8)
 
 
@@ -549,7 +552,18 @@ def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
     start_all = se_all[..., 0]
     count_all = jnp.maximum(se_all[..., 1] - start_all, 0)
 
-    cnt = jnp.minimum(count_all, max_per_cell)               # [8,N]
+    if one_brick_active(max_per_cell):
+        # compose with the one-brick window: the compact stream samples
+        # the SAME per-cell subset (the salted-prefix run inside
+        # cell_start's brick) with the same count/kept weights, so
+        # CAPQ results stay consistent with neighbor_slots/fold_neighbors
+        # under the mode. (The compact path gathers thin rows, so it
+        # gains no bandwidth from it — this is consistency, not speed.)
+        kept_all = jnp.minimum(jnp.minimum(count_all, max_per_cell),
+                               8 - (start_all & 7))
+    else:
+        kept_all = jnp.minimum(count_all, max_per_cell)
+    cnt = kept_all                                           # [8,N]
     cum = jnp.cumsum(cnt, axis=0)                            # [8,N]
     total = cum[7]                                           # [N]
     cum0 = jnp.concatenate([jnp.zeros((1, n), cum.dtype), cum[:-1]],
@@ -570,11 +584,11 @@ def neighbor_slots_compact(grid: PhotonGrid, query_pos, merge_radius,
     diff = query_pos[None, :, :] - rows[:, :, 0:3]
     ok = ok & (jnp.sum(diff * diff, axis=-1) <= r2)
     count_sel = jnp.sum(jnp.where(onehot, count_all[None], 0), axis=1)
-    wgt = _cell_weight(count_sel, max_per_cell)              # [cap_q,N]
+    kept_sel = jnp.sum(jnp.where(onehot, kept_all[None], 0), axis=1)
+    wgt = _window_weight(count_sel, kept_sel)                # [cap_q,N]
 
     over = jnp.where(active,
-                     jnp.sum(jnp.maximum(count_all - max_per_cell, 0),
-                             axis=0)
+                     jnp.sum(count_all - kept_all, axis=0)
                      + jnp.maximum(total - cap_q, 0), 0)
     return rows, ok, wgt, jnp.sum(over)
 

@@ -297,7 +297,8 @@ def build_sbvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                max_leaf_size: int = 2, alpha: float = 1e-5,
                max_dup: float = 1.5, thread: bool = False,
                spatial_depth: int = 10**9,
-               native_below: bool = False) -> BVH:
+               native_below: bool = False,
+               no_split: np.ndarray | None = None) -> BVH:
     """SBVH: SAH build with SPATIAL splits (Stich et al. 2009, HPG).
 
     Extends the object-split build (buildBVH semantics, main.cu:133-233 —
@@ -463,6 +464,22 @@ def build_sbvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                         keep_s = []
                         for s in sidx:
                             t = idx[s]
+                            if no_split is not None and no_split[t]:
+                                # never duplicate these references (scene
+                                # passes emissive triangles: light-table
+                                # rows and shadow-ray light skips assume
+                                # a unique row per light tri) — send the
+                                # whole ref to its centroid side
+                                if rc[s, axis] < plane:
+                                    li.append(idx[s:s + 1])
+                                    sl_min.append(rmin[s])
+                                    sl_max.append(rmax[s])
+                                else:
+                                    ri_.append(idx[s:s + 1])
+                                    sr_min.append(rmin[s])
+                                    sr_max.append(rmax[s])
+                                keep_s.append(False)
+                                continue
                             cl = _clip_tri_aabb(p0[t], p1[t], p2[t],
                                                 axis, -np.inf, plane)
                             cr = _clip_tri_aabb(p0[t], p1[t], p2[t],

@@ -209,7 +209,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
                 use_native_bvh: bool = True,
                 traversal: str = "bvh8",
                 bvh8_leaf_tris: int = 4,
-                bvh8_policy: str | None = None) -> tuple[Scene, bvh_mod.BVH]:
+                bvh8_policy: str | None = None,
+                use_sbvh: bool | None = None) -> tuple[Scene, bvh_mod.BVH]:
     """Build the BVH and upload everything as a Scene pytree.
 
     Returns (scene, host_bvh) — the host BVH is kept for stats/tests.
@@ -243,8 +244,13 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         table = htab = build_table(materials, device=False)
     any_leaf_mat = bool(
         (np.asarray(htab.type)[np.asarray(mesh.mat_id)] == 4).any())
-    use_sbvh = (os.environ.get("TPT_BVH_SBVH", "0") != "0"
-                and not want_threaded and not any_leaf_mat)
+    # DEFAULT ON since round 5 (same-hour 1080p headline 12.14 -> 15.86
+    # Mrays/s, goldens bit-green on XLA:CPU): TPT_BVH_SBVH=0 restores the
+    # reference-parity object-split build. Auto-disabled on scenes with
+    # transmissive MAT_LEAF materials and for the threaded engine.
+    if use_sbvh is None:
+        use_sbvh = os.environ.get("TPT_BVH_SBVH", "1") != "0"
+    use_sbvh = use_sbvh and not want_threaded and not any_leaf_mat
     if use_sbvh:
         # spatial splits only in the top levels (where the giant-triangle
         # overlap lives: 82k-tri headline scene keeps the FULL-depth SBVH
@@ -254,7 +260,8 @@ def build_scene(mesh: MeshData, materials: list | MaterialTable,
         bvh = bvh_mod.build_sbvh(
             p0, p1, p2, max_leaf_size,
             spatial_depth=int(os.environ.get("TPT_BVH_SBVH_DEPTH", "6")),
-            native_below=True)
+            native_below=True,
+            no_split=np.asarray(mesh.light_ind) >= 0)
     else:
         bvh = bvh_mod.build_bvh(centroids, amins, amaxs, max_leaf_size,
                                 use_native=use_native_bvh,

@@ -104,10 +104,15 @@ def test_stats_shape():
     mesh = cornell_with_blocks()
     from cudapathtracer_tpu.scene.scene import build_scene
     from cudapathtracer_tpu.scene.materials import builtin_materials
-    scene, bvh = build_scene(mesh, builtin_materials())
+    scene, bvh = build_scene(mesh, builtin_materials(), use_sbvh=False)
     stats = bvh_mod.bvh_stats(bvh)
     assert stats["prims_in_leaves"] == mesh.num_triangles
     assert stats["num_nodes"] == bvh.num_nodes
+    # SBVH (default) may duplicate references: prims_in_leaves counts
+    # REFERENCES and can only grow
+    _, bvh_s = build_scene(mesh, builtin_materials(), use_sbvh=True)
+    stats_s = bvh_mod.bvh_stats(bvh_s)
+    assert stats_s["prims_in_leaves"] >= mesh.num_triangles
 
 
 @pytest.mark.skipif(not native_available(), reason="no native lib")

@@ -12,7 +12,10 @@ pytestmark = pytest.mark.smoke
 
 @pytest.fixture(scope="module")
 def scene():
-    sc, _ = build_scene(cornell_with_blocks(), builtin_materials())
+    # reference-parity oracle tests run on the single-reference build
+    # (test_sbvh_matches_brute_force covers the SBVH default)
+    sc, _ = build_scene(cornell_with_blocks(), builtin_materials(),
+                        use_sbvh=False)
     return sc
 
 
@@ -44,7 +47,8 @@ def test_bvh_matches_brute_force(scene):
 
 
 def test_bvh_matches_brute_force_spheres():
-    sc, _ = build_scene(cornell_with_spheres(), builtin_materials())
+    sc, _ = build_scene(cornell_with_spheres(), builtin_materials(),
+                        use_sbvh=False)
     o, d = rand_rays(256, 7)
     hit = traverse.closest_hit(sc, o, d)
     bt, btri, _, _ = intersect.brute_force_closest_hit(
