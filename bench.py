@@ -349,8 +349,12 @@ def run_suite(args, key, deadline, headline_mrays=None):
 
     # (name, spp, batch, best_of, inner, ctx, extra) — priority order
     specs = [
+        # best-of-2 windows (round 5: the suite finishes in ~9 min of
+        # the 20-min budget, and config6's s_per_sample is the round's
+        # <5 evidence — one window was too noisy; 3 would cost ~24 s
+        # more device time for little over 2)
         ("config6 reference-shipped VCM 800x800 eye16/light10 mega",
-         spp_r, 1, 1,
+         spp_r, 1, min(photon_bo, 2),
          lambda sc, c, k, s, ipx, ipy: vcm_mega.render_sample(
              sc, c, k, s, ipx, ipy, cfg=vcfg_r, grid_w=wr,
              count_merge_dropped=True),
