@@ -51,3 +51,7 @@ def test_bdpt_mega_isolated():
 
 def test_vcm_isolated():
     _run_module("test_vcm.py")
+
+
+def test_sharding_isolated():
+    _run_module("test_sharding.py")
